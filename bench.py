@@ -1,0 +1,92 @@
+"""Benchmark: full training step (fwd+bwd+clip+Adam, one XLA program) on the
+flagship SimBEV config — 6 cams x 128x352, EfficientNet-B0, D=41, 200x200 BEV
+grid — at batch size 8 on one chip.
+
+Prints ONE JSON line:
+    {"metric": "train_step_ms_bsz8", "value": <ms>, "unit": "ms",
+     "vs_baseline": <baseline_ms / ms>}
+
+Baseline: the reference documents ~100 ms/sample single-GPU *inference*
+(reference docs/README_SIMBEV.md:186) and no training-step number; we use
+8 x 100 ms = 800 ms as a conservative reference-GPU bsz-8 train-step floor (a train
+step costs ~3x inference, so the true baseline is likely slower).
+vs_baseline > 1 means faster than the reference; the BASELINE.json target is
+>= 5.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+BASELINE_STEP_MS = 800.0  # 8 samples x ~100 ms/sample (see module docstring)
+
+
+def build(bsz, splat_method="scatter", dtype="float32"):
+    import jax
+    from __graft_entry__ import _enable_compile_cache
+    _enable_compile_cache()
+    import jax.numpy as jnp
+    from lss_carla_tpu.configs import DataAugConf, GridConf
+    from lss_carla_tpu.models.lss import compile_model
+    from lss_carla_tpu.training.state import create_train_state
+    from lss_carla_tpu.training.step import make_train_step
+
+    model = compile_model(GridConf(), DataAugConf(), outC=1,
+                          splat_method=splat_method, compute_dtype=dtype)
+    rng = np.random.default_rng(0)
+    B, N, fH, fW = bsz, 6, 128, 352
+    imgs = jnp.asarray(rng.normal(size=(B, N, 3, fH, fW)).astype(np.float32))
+    rots = jnp.tile(jnp.eye(3, dtype=jnp.float32), (B, N, 1, 1))
+    trans = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
+    intrins = jnp.tile(jnp.eye(3, dtype=jnp.float32), (B, N, 1, 1))
+    intrins = intrins.at[..., 0, 0].set(200.0).at[..., 1, 1].set(200.0)
+    intrins = intrins.at[..., 0, 2].set(fW / 2).at[..., 1, 2].set(fH / 2)
+    post_rots = jnp.tile(jnp.eye(3, dtype=jnp.float32), (B, N, 1, 1))
+    post_trans = jnp.zeros((B, N, 3), jnp.float32)
+    binimgs = jnp.asarray(
+        (rng.uniform(size=(B, 1, 200, 200)) < 0.03).astype(np.float32))
+    batch = (imgs, rots, trans, intrins, post_rots, post_trans, binimgs)
+
+    state = create_train_state(model, jax.random.PRNGKey(0), batch[:6])
+    step = make_train_step(model, pos_weight=2.13)
+    return step, state, batch
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--bsz", type=int, default=8)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--splat_method", default="scatter",
+                   choices=["scatter", "pallas"])
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    args = p.parse_args()
+
+    import jax
+    step, state, batch = build(args.bsz, args.splat_method, args.dtype)
+
+    for i in range(args.warmup):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        state, metrics = step(state, batch, jax.random.PRNGKey(100 + i))
+    jax.block_until_ready(metrics["loss"])
+    t1 = time.perf_counter()
+
+    ms = (t1 - t0) / args.iters * 1000.0
+    suffix = "" if args.dtype == "float32" else f"_{args.dtype}"
+    print(json.dumps({
+        "metric": f"train_step_ms_bsz{args.bsz}{suffix}",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_STEP_MS / ms, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,122 @@
+"""Synthetic SimBEV fixture generator.
+
+The reference has no hermetic test data — all its debug scripts need the real
+dataset at ``/data/SimBEV`` (SURVEY §4). This generator writes a miniature
+dataset tree with the exact schema the loader expects:
+
+    root/
+      SimBEV_cvt_label/scene_0000/yaw0pitch0/{meta.json, bev_000000.npz}
+      sweeps/RGB-CAM_*/*.jpg
+
+Geometry is physically consistent: each camera is a pinhole at the ego
+origin, yawed to its mount direction, with the "ego->cam"-style extrinsics
+stored the way SimBEV does (rotation/translation consumed as-is by the
+cam->ego composition). Boxes of "vehicle" pixels are drawn in the BEV label
+and (approximately) in the camera images so geometry/label alignment tests
+have signal.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+from PIL import Image, ImageDraw
+
+from lss_carla_tpu.data.simbev import CAMERA_ORDER
+
+CAM_DIRS = {
+    'front_left': 55.0, 'front': 0.0, 'front_right': -55.0,
+    'back_left': 110.0, 'back': 180.0, 'back_right': -110.0,
+}
+
+
+def _yaw_rot(deg: float) -> np.ndarray:
+    """Rotation mapping camera axes into ego axes: camera +z (view) points
+    along ego yaw direction, camera +x right, +y down."""
+    t = np.deg2rad(deg)
+    fwd = np.array([np.cos(t), np.sin(t), 0.0])      # ego direction of view
+    right = np.array([np.sin(t), -np.cos(t), 0.0])   # ego right-of-view
+    down = np.array([0.0, 0.0, -1.0])
+    # columns are camera axes expressed in ego coords: [x_cam, y_cam, z_cam]
+    return np.stack([right, down, fwd], axis=1)
+
+
+def generate_fixture(root, num_scenes: int = 3, samples_per_scene: int = 4,
+                     H: int = 224, W: int = 480, grid: int = 200,
+                     seed: int = 0) -> Path:
+    """Write a synthetic SimBEV tree under ``root`` and return it."""
+    root = Path(root)
+    rng = np.random.default_rng(seed)
+    fx = fy = 0.5 * W  # ~90deg hfov
+    cx, cy = W / 2.0, H / 2.0
+    intrin = [[fx, 0.0, cx], [0.0, fy, cy], [0.0, 0.0, 1.0]]
+
+    for s in range(num_scenes):
+        scene = f"scene_{s:04d}"
+        meta_dir = root / "SimBEV_cvt_label" / scene / "yaw0pitch0"
+        meta_dir.mkdir(parents=True, exist_ok=True)
+        meta = []
+        for k in range(samples_per_scene):
+            token = f"{scene}_{k:06d}"
+            # a few random vehicles: (x, y) ego positions within 40m
+            n_veh = int(rng.integers(1, 4))
+            veh = rng.uniform(-35, 35, size=(n_veh, 2))
+
+            # BEV label. The model's splat grid maps loaded[i, j] to ego
+            # (x = i*cell - 50, y = j*cell - 50); the loader flipuds the
+            # stored rows (SimBEV front-at-row-0 convention), so we store
+            # stored[r, c] = presence at x = (grid-1-r)*cell - 50.
+            bev = np.zeros((8, grid, grid), dtype=np.uint8)
+            cell = 100.0 / grid
+            for (vx, vy) in veh:
+                r = grid - 1 - int((vx + 50.0) / cell)
+                c = int((vy + 50.0) / cell)
+                half = max(1, int(2.0 / cell))  # ~4m boxes
+                cls = int(rng.integers(1, 4))
+                bev[cls, max(0, r - half):r + half, max(0, c - half):c + half] = 1
+            bev_name = f"bev_{token}.npz"
+            np.savez_compressed(meta_dir / bev_name, bev=bev)
+
+            images = []
+            for cam in CAMERA_ORDER:
+                cam_dir = root / "sweeps" / f"RGB-CAM_{cam.upper()}"
+                cam_dir.mkdir(parents=True, exist_ok=True)
+                img = Image.new("RGB", (W, H),
+                                tuple(int(v) for v in rng.integers(40, 90, 3)))
+                draw = ImageDraw.Draw(img)
+                R = _yaw_rot(CAM_DIRS[cam])
+                for (vx, vy) in veh:
+                    p_cam = R.T @ np.array([vx, vy, 0.0])  # ego -> cam
+                    if p_cam[2] < 2.0:
+                        continue
+                    u = fx * p_cam[0] / p_cam[2] + cx
+                    v = fy * p_cam[1] / p_cam[2] + cy
+                    r_px = max(2, int(400.0 / p_cam[2]))
+                    draw.rectangle([u - r_px, v - r_px, u + r_px, v + r_px],
+                                   fill=(200, 30, 30))
+                rel = f"sweeps/RGB-CAM_{cam.upper()}/{token}.jpg"
+                img.save(root / rel, quality=90)
+                images.append(rel)
+
+            # extrinsics stored so that rot/tran are consumed as-is by the
+            # cam->ego composition (SimBEV "ego->cam" storage convention,
+            # reference data_simbev.py:187-192): rot = cam-axes-in-ego.
+            extrinsics = []
+            for cam in CAMERA_ORDER:
+                E = np.eye(4)
+                E[:3, :3] = _yaw_rot(CAM_DIRS[cam])
+                E[:3, 3] = 0.0
+                extrinsics.append(E.tolist())
+
+            meta.append({
+                "token": token,
+                "images": images,
+                "intrinsics": [intrin] * len(CAMERA_ORDER),
+                "extrinsics": extrinsics,
+                "bev": bev_name,
+            })
+        with open(meta_dir / "meta.json", "w") as f:
+            json.dump(meta, f)
+    return root

@@ -1,0 +1,153 @@
+"""Host-side batch loader with threaded prefetch and device double-buffering.
+
+Replaces the reference's torch DataLoader worker processes
+(``data_simbev.py:339-352``) with a thread pool: PIL decode and numpy work
+release the GIL, and thread workers avoid fork/IPC overhead while the TPU
+step runs asynchronously. ``prefetch_to_device`` keeps ``size`` batches in
+flight on-device so the host pipeline overlaps the XLA step (double
+buffering).
+"""
+
+from __future__ import annotations
+
+import collections
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+def _collate(items):
+    """Stack a list of tuples-of-arrays into a tuple of batched arrays."""
+    return tuple(np.stack([it[i] for it in items]) for i in range(len(items[0])))
+
+
+class DataLoader:
+    """Minimal map-style loader: shuffle, batch, drop_last, prefetch.
+
+    Iterating yields tuples of numpy arrays with a leading batch dim.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 drop_last: bool = False, num_workers: int = 4,
+                 seed: int = 13, prefetch_batches: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(0, num_workers)
+        self.prefetch_batches = max(1, prefetch_batches)
+        self._epoch = 0
+        self._seed = seed
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batch_indices(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self._seed + self._epoch)
+            rng.shuffle(order)
+        batches = []
+        for start in range(0, n, self.batch_size):
+            idx = order[start:start + self.batch_size]
+            if len(idx) < self.batch_size and self.drop_last:
+                continue
+            batches.append(idx)
+        return batches
+
+    def __iter__(self) -> Iterator:
+        batches = self._batch_indices()
+        self._epoch += 1
+        if self.num_workers == 0:
+            for idx in batches:
+                yield _collate([self.dataset[int(i)] for i in idx])
+            return
+
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            def load_batch(idx):
+                return _collate(list(pool.map(
+                    lambda i: self.dataset[int(i)], idx)))
+
+            # keep a window of batch futures in flight
+            pending = collections.deque()
+            batch_pool = ThreadPoolExecutor(self.prefetch_batches)
+            try:
+                it = iter(batches)
+                for _ in range(self.prefetch_batches):
+                    idx = next(it, None)
+                    if idx is not None:
+                        pending.append(batch_pool.submit(load_batch, idx))
+                while pending:
+                    fut = pending.popleft()
+                    idx = next(it, None)
+                    if idx is not None:
+                        pending.append(batch_pool.submit(load_batch, idx))
+                    yield fut.result()
+            finally:
+                batch_pool.shutdown(wait=False, cancel_futures=True)
+
+
+def prefetch_to_device(iterator, size: int = 2, device_put=None):
+    """Wrap a host batch iterator with an N-deep on-device prefetch queue.
+
+    device_put: callable batch -> device batch (e.g. sharded placement);
+    defaults to jax.device_put.
+    """
+    import jax
+    if device_put is None:
+        device_put = jax.device_put
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+    err = []
+
+    def producer():
+        try:
+            for batch in iterator:
+                q.put(device_put(batch))
+        except BaseException as e:  # surfaced on the consumer side
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
+def compile_data(version, dataroot, data_aug_conf, grid_conf, bsz: int,
+                 nworkers: int, parser_name: str = "segmentationdata",
+                 drop_to_multiple_of: Optional[int] = None):
+    """Reference-parity loader factory (``data_simbev.py:315-354``).
+
+    Returns (trainloader, valloader). ``version`` is unused (API compat).
+    ``drop_to_multiple_of``: if set, the val loader also drops remainder
+    batches so every batch is shardable over a device mesh.
+    """
+    from lss_carla_tpu.data.simbev import SegmentationData, VizData
+    parser = {"vizdata": VizData, "segmentationdata": SegmentationData}[parser_name]
+
+    traindata = parser(dataroot, is_train=True, data_aug_conf=data_aug_conf,
+                       grid_conf=grid_conf)
+    valdata = parser(dataroot, is_train=False, data_aug_conf=data_aug_conf,
+                     grid_conf=grid_conf)
+
+    trainloader = DataLoader(traindata, batch_size=bsz, shuffle=True,
+                             drop_last=True, num_workers=nworkers)
+    valloader = DataLoader(valdata, batch_size=bsz, shuffle=False,
+                           drop_last=drop_to_multiple_of is not None,
+                           num_workers=nworkers)
+    return trainloader, valloader

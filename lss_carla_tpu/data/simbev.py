@@ -1,0 +1,168 @@
+"""SimBEV dataset: scene scan, sample loading, label decoding.
+
+Host-side equivalent of reference ``src/data_simbev.py``. Same directory
+schema and semantics:
+
+* ``dataroot/SimBEV_cvt_label/scene_*/yaw0pitch0/meta.json`` lists samples;
+  scenes are sorted and split 80/20 into train/val (``data_simbev.py:79-91``);
+* each sample carries 6 camera image paths (relative to dataroot), 3x3
+  intrinsics, and 4x4 ego->cam extrinsics used as-is
+  (``data_simbev.py:187-192``);
+* the BEV label is ``bev_*.npz`` with an (8, 200, 200) class stack; classes
+  1|2|3 merge into a binary vehicle mask, then ``np.flipud`` for the
+  SimBEV-vs-LSS Y-axis convention (``data_simbev.py:236-242``);
+* ONE augmentation draw per sample shared by all cameras
+  (``data_simbev.py:166-168``); train may drop to a random Ncams-camera
+  subset (``data_simbev.py:248-258``).
+
+Returns numpy arrays in the reference's tensor layouts
+(imgs (N, 3, H, W) normalized float32, etc.) so downstream code is
+drop-in compatible.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import List, Sequence
+
+import numpy as np
+from PIL import Image
+
+from lss_carla_tpu.configs import DataAugConf, GridConf
+from lss_carla_tpu.data.augment import img_transform, sample_augmentation
+from lss_carla_tpu.ops.geometry import gen_dx_bx
+from lss_carla_tpu.ops.image import normalize_img
+
+CAMERA_ORDER = [
+    'front_left', 'front', 'front_right',
+    'back_left', 'back', 'back_right',
+]
+
+TRAIN_SPLIT_FRACTION = 0.8
+
+
+def scan_samples(dataroot, is_train: bool) -> List[dict]:
+    """Scan scene dirs, apply the sorted 80/20 scene split, read meta.json."""
+    dataroot = Path(dataroot)
+    labels_dir = dataroot / "SimBEV_cvt_label"
+    if not labels_dir.exists():
+        raise FileNotFoundError(f"Labels directory not found: {labels_dir}")
+
+    scene_dirs = sorted(d for d in labels_dir.iterdir()
+                        if d.is_dir() and d.name.startswith("scene_"))
+    if not scene_dirs:
+        raise FileNotFoundError(f"No scene directories found in {labels_dir}")
+
+    train_split = int(TRAIN_SPLIT_FRACTION * len(scene_dirs))
+    selected = scene_dirs[:train_split] if is_train else scene_dirs[train_split:]
+
+    samples = []
+    for scene_dir in selected:
+        meta_path = scene_dir / "yaw0pitch0" / "meta.json"
+        if not meta_path.exists():
+            continue
+        with open(meta_path) as f:
+            meta_samples = json.load(f)
+        for s in meta_samples:
+            s["scene_dir"] = scene_dir
+            s["meta_dir"] = meta_path.parent
+            samples.append(s)
+
+    if not samples:
+        split = "train" if is_train else "val"
+        raise FileNotFoundError(f"No samples found for {split} split in {labels_dir}")
+    return samples
+
+
+class SimBEVDataset:
+    """Map-style dataset over SimBEV samples."""
+
+    def __init__(self, dataroot, is_train: bool, data_aug_conf, grid_conf):
+        self.dataroot = Path(dataroot)
+        self.is_train = is_train
+        self.data_aug_conf = (data_aug_conf if isinstance(data_aug_conf, DataAugConf)
+                              else DataAugConf.from_dict(data_aug_conf))
+        self.grid_conf = (grid_conf if isinstance(grid_conf, GridConf)
+                          else GridConf.from_dict(grid_conf))
+        self.samples = scan_samples(dataroot, is_train)
+        self.dx, self.bx, self.nx = gen_dx_bx(
+            self.grid_conf.xbound, self.grid_conf.ybound, self.grid_conf.zbound)
+        print(self)
+
+    def choose_cams(self) -> Sequence[int]:
+        all_cams = list(range(len(CAMERA_ORDER)))
+        ncams = self.data_aug_conf.Ncams
+        if self.is_train and ncams < len(CAMERA_ORDER):
+            return sorted(np.random.choice(all_cams, ncams,
+                                           replace=False).tolist())
+        return all_cams
+
+    def get_image_data(self, sample, cam_indices):
+        imgs, rots, trans, intrins, post_rots, post_trans = [], [], [], [], [], []
+        aug = sample_augmentation(self.data_aug_conf, self.is_train)
+        resize, resize_dims, crop, flip, rotate = aug
+
+        for cam_idx in cam_indices:
+            img = Image.open(self.dataroot / sample["images"][cam_idx])
+            intrin = np.asarray(sample["intrinsics"][cam_idx], dtype=np.float32)
+            extrin = np.asarray(sample["extrinsics"][cam_idx], dtype=np.float32)
+            rot, tran = extrin[:3, :3], extrin[:3, 3]
+
+            img, post_rot2, post_tran2 = img_transform(
+                img, resize, resize_dims, crop, flip, rotate)
+
+            post_rot3 = np.eye(3, dtype=np.float32)
+            post_tran3 = np.zeros(3, dtype=np.float32)
+            post_rot3[:2, :2] = post_rot2
+            post_tran3[:2] = post_tran2
+
+            # normalized, reference NCHW layout
+            imgs.append(normalize_img(np.asarray(img.convert("RGB")))
+                        .transpose(2, 0, 1))
+            intrins.append(intrin)
+            rots.append(rot)
+            trans.append(tran)
+            post_rots.append(post_rot3)
+            post_trans.append(post_tran3)
+
+        return (np.stack(imgs), np.stack(rots), np.stack(trans),
+                np.stack(intrins), np.stack(post_rots), np.stack(post_trans))
+
+    def get_binimg(self, sample) -> np.ndarray:
+        bev = np.load(Path(sample["meta_dir"]) / sample["bev"])["bev"]
+        vehicle = ((bev[1] > 0) | (bev[2] > 0) | (bev[3] > 0)).astype(np.float32)
+        vehicle = np.flipud(vehicle).copy()  # SimBEV->LSS Y convention
+        return vehicle[None]
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __str__(self):
+        split = "train" if self.is_train else "val"
+        return f"SimBEVDataset ({split}): {len(self)} samples"
+
+
+class SegmentationData(SimBEVDataset):
+    """Training/validation items: the reference 7-tuple."""
+
+    def __getitem__(self, index):
+        sample = self.samples[index]
+        cams = self.choose_cams()
+        imgs, rots, trans, intrins, post_rots, post_trans = \
+            self.get_image_data(sample, cams)
+        binimg = self.get_binimg(sample)
+        return imgs, rots, trans, intrins, post_rots, post_trans, binimg
+
+
+class VizData(SimBEVDataset):
+    """Adds an empty (3, 0) lidar tensor (reference data_simbev.py:268-291)."""
+
+    def __getitem__(self, index):
+        sample = self.samples[index]
+        cams = self.choose_cams()
+        imgs, rots, trans, intrins, post_rots, post_trans = \
+            self.get_image_data(sample, cams)
+        lidar = np.empty((3, 0), dtype=np.float32)
+        binimg = self.get_binimg(sample)
+        return imgs, rots, trans, intrins, post_rots, post_trans, lidar, binimg

@@ -1,0 +1,199 @@
+"""Eval / viz / op-parity entry points — reference ``src/explore.py`` rebuilt.
+
+The reference versions are dead code (broken imports); these are working
+equivalents on the SimBEV loader:
+
+* ``eval_model_iou``  — restore a checkpoint, run the full val loader, print
+  mean loss + dataset IoU (reference ``explore.py:194-246``).
+* ``viz_model_preds`` — render the 3-row camera/GT/pred/overlay panels to
+  PNGs (reference ``explore.py:249-363``, wandb figure variant).
+* ``splat_check``     — the ``cumsum_check`` equivalent (reference
+  ``explore.py:119-191``): run the same batch through both splat
+  implementations (XLA scatter vs Pallas kernel) and compare forward output
+  AND depthnet weight gradients.
+* ``lidar_check``     — frustum-geometry sanity viz: project each camera's
+  frustum points into the BEV plane and save a scatter plot.
+
+All take dataroot + the usual config kwargs; designed for CLI use via
+``python -m lss_carla_tpu.explore <fn> ...`` (see ``main``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lss_carla_tpu.configs import DataAugConf, GridConf
+from lss_carla_tpu.data.loader import compile_data
+from lss_carla_tpu.models.lss import compile_model
+from lss_carla_tpu.training.loop import get_val_info, ocp_abstract
+from lss_carla_tpu.training.state import create_train_state
+from lss_carla_tpu.training.step import (make_eval_step, make_predict_step,
+                                         make_train_step)
+from lss_carla_tpu.utils.checkpoint import CheckpointManager
+
+
+def _build(dataroot, bsz=4, nworkers=4, H=224, W=480, final_dim=(128, 352),
+           ncams=6, checkpoint: Optional[str] = None, **model_kw):
+    grid_conf = GridConf()
+    aug_conf = DataAugConf(H=H, W=W, final_dim=tuple(final_dim), Ncams=ncams)
+    trainloader, valloader = compile_data(
+        "unused", dataroot, aug_conf, grid_conf, bsz=bsz, nworkers=nworkers)
+    model = compile_model(grid_conf, aug_conf, outC=1, **model_kw)
+    fH, fW = aug_conf.final_dim
+    sample = (
+        jnp.zeros((1, ncams, 3, fH, fW)),
+        jnp.tile(jnp.eye(3), (1, ncams, 1, 1)),
+        jnp.zeros((1, ncams, 3)),
+        jnp.tile(jnp.eye(3), (1, ncams, 1, 1)),
+        jnp.tile(jnp.eye(3), (1, ncams, 1, 1)),
+        jnp.zeros((1, ncams, 3)),
+    )
+    state = create_train_state(model, jax.random.PRNGKey(0), sample)
+    if checkpoint:
+        mgr = CheckpointManager(checkpoint)
+        abstract = jax.tree_util.tree_map(ocp_abstract, state)
+        state, meta = mgr.restore(abstract)
+        print(f"restored checkpoint step={meta.get('counter')}")
+    return model, state, trainloader, valloader, grid_conf, aug_conf
+
+
+def eval_model_iou(dataroot, checkpoint: str, bsz=4, nworkers=4, **kw):
+    model, state, _, valloader, *_ = _build(
+        dataroot, bsz=bsz, nworkers=nworkers, checkpoint=checkpoint, **kw)
+    eval_fn = make_eval_step(model, pos_weight=2.13)
+    info = get_val_info(eval_fn, state, valloader, device_put=jax.device_put)
+    print(info)
+    return info
+
+
+def viz_model_preds(dataroot, checkpoint: Optional[str] = None,
+                    outdir="./viz_outputs", max_batches=2, bsz=4, **kw):
+    from lss_carla_tpu.utils.viz import make_bev_figure
+    import matplotlib.pyplot as plt
+
+    model, state, _, valloader, *_ = _build(
+        dataroot, bsz=bsz, checkpoint=checkpoint, **kw)
+    predict = make_predict_step(model)
+    os.makedirs(outdir, exist_ok=True)
+    count = 0
+    for bi, batch in enumerate(valloader):
+        if bi >= max_batches:
+            break
+        batch = jax.device_put(batch)
+        logits = predict(state, batch[:6])
+        preds = np.asarray(jax.nn.sigmoid(logits))
+        for si in range(preds.shape[0]):
+            fig = make_bev_figure(np.asarray(batch[0][si]),
+                                  np.asarray(batch[6][si, 0]),
+                                  preds[si, 0])
+            path = os.path.join(outdir, f"eval{count:06d}.png")
+            fig.savefig(path)
+            plt.close(fig)
+            print(path)
+            count += 1
+    return count
+
+
+def splat_check(dataroot=None, bsz=2, **kw):
+    """Forward+backward parity between splat implementations on one batch
+    (the reference cumsum_check contract, ``explore.py:166-191``)."""
+    from lss_carla_tpu.training.loss import bce_with_logits
+
+    if dataroot is not None:
+        model_s, state, trainloader, *_ = _build(
+            dataroot, bsz=bsz, splat_method="scatter", **kw)
+        batch = jax.device_put(next(iter(trainloader)))
+    else:  # synthetic batch
+        from lss_carla_tpu.models.lss import compile_model as _cm
+        grid_conf, aug_conf = GridConf(), DataAugConf()
+        model_s = _cm(grid_conf, aug_conf, outC=1, splat_method="scatter")
+        rng = np.random.default_rng(0)
+        fH, fW = aug_conf.final_dim
+        imgs = rng.normal(size=(bsz, 6, 3, fH, fW)).astype(np.float32)
+        eye = np.tile(np.eye(3, dtype=np.float32), (bsz, 6, 1, 1))
+        intr = eye.copy()
+        intr[..., 0, 0] = intr[..., 1, 1] = 200.0
+        intr[..., 0, 2], intr[..., 1, 2] = fW / 2, fH / 2
+        zeros3 = np.zeros((bsz, 6, 3), np.float32)
+        binimg = (rng.uniform(size=(bsz, 1, 200, 200)) < 0.03).astype(np.float32)
+        batch = tuple(map(jnp.asarray,
+                          (imgs, eye, zeros3, intr, eye, zeros3, binimg)))
+        state = create_train_state(model_s, jax.random.PRNGKey(0), batch[:6])
+
+    from lss_carla_tpu.models.lss import compile_model as _cm2
+    model_p = _cm2(model_s.grid_conf, model_s.data_aug_conf, outC=1,
+                   splat_method="pallas")
+
+    results = {}
+    for name, model in [("scatter", model_s), ("pallas", model_p)]:
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                *batch[:6], train=False)
+            return bce_with_logits(out, batch[6], 2.13), out
+
+        (loss, out), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        g = grads["camencode"]["depthnet"]["kernel"]
+        results[name] = (float(out.mean()), float(g.mean()), float(loss))
+        print(f"{name}: out.mean={results[name][0]:.6f} "
+              f"depthnet.grad.mean={results[name][1]:.3e} loss={loss:.6f}")
+    if len(results) == 2:
+        a, b = results["scatter"], results["pallas"]
+        print(f"|Δout.mean|={abs(a[0]-b[0]):.2e} "
+              f"|Δgrad.mean|={abs(a[1]-b[1]):.2e}")
+    return results
+
+
+def lidar_check(dataroot, outdir="./viz_outputs", **kw):
+    """Project each camera's frustum into the BEV plane (geometry sanity)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    model, state, _, valloader, grid_conf, aug_conf = _build(dataroot, bsz=1,
+                                                             **kw)
+    from lss_carla_tpu.ops.geometry import create_frustum, get_geometry
+    batch = next(iter(valloader))
+    frustum = jnp.asarray(create_frustum(aug_conf.final_dim, 16,
+                                         grid_conf.dbound))
+    geom = np.asarray(get_geometry(
+        frustum, *(jnp.asarray(batch[i]) for i in (1, 2, 3, 4, 5))))
+    os.makedirs(outdir, exist_ok=True)
+    fig, ax = plt.subplots(figsize=(8, 8))
+    for n in range(geom.shape[1]):
+        pts = geom[0, n].reshape(-1, 3)
+        ax.scatter(pts[:, 0], pts[:, 1], s=0.3, label=f"cam{n}")
+    ax.set_xlabel("ego X (m)")
+    ax.set_ylabel("ego Y (m)")
+    ax.legend(markerscale=10)
+    ax.set_title("Frustum coverage in BEV")
+    path = os.path.join(outdir, "lidar_check.png")
+    fig.savefig(path)
+    plt.close(fig)
+    print(path)
+    return path
+
+
+if __name__ == "__main__":
+    import argparse
+    p = argparse.ArgumentParser(description="LSS-TPU eval/viz tools")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name in ("eval_model_iou", "viz_model_preds", "splat_check",
+                 "lidar_check"):
+        sp = sub.add_parser(name)
+        sp.add_argument("--dataroot", default=None)
+        sp.add_argument("--checkpoint", default=None)
+        sp.add_argument("--bsz", type=int, default=2)
+    a = p.parse_args()
+    kwargs = {}
+    if a.dataroot is not None:
+        kwargs["dataroot"] = a.dataroot
+    if a.checkpoint is not None:
+        kwargs["checkpoint"] = a.checkpoint
+    globals()[a.cmd](bsz=a.bsz, **kwargs)

@@ -14,10 +14,12 @@ Parity notes vs the reference (PyTorch):
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Any, Callable, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
+
+Dtype = Any
 
 from lss_carla_tpu.ops.image import upsample_align_corners
 
@@ -38,16 +40,17 @@ class ConvBNReLU(nn.Module):
     stride: int = 1
     bn_momentum: float = 0.9   # torch default 0.1
     bn_epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride),
                     padding=torch_pad(self.kernel), use_bias=False,
-                    kernel_init=kaiming_out)(x)
+                    kernel_init=kaiming_out, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train,
                          momentum=self.bn_momentum,
-                         epsilon=self.bn_epsilon)(x)
+                         epsilon=self.bn_epsilon, dtype=self.dtype)(x)
         return nn.relu(x)
 
 
@@ -59,13 +62,14 @@ class Up(nn.Module):
     """
     features: int
     scale: int = 2
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x1, x2, train: bool):
         x1 = upsample_align_corners(x1, self.scale)
         x = jnp.concatenate([x2, x1], axis=-1)
-        x = ConvBNReLU(self.features)(x, train)
-        x = ConvBNReLU(self.features)(x, train)
+        x = ConvBNReLU(self.features, dtype=self.dtype)(x, train)
+        x = ConvBNReLU(self.features, dtype=self.dtype)(x, train)
         return x
 
 
@@ -73,28 +77,31 @@ class BasicBlock(nn.Module):
     """torchvision resnet BasicBlock with zero-init residual BN."""
     features: int
     stride: int = 1
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         identity = x
         y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
                     padding=torch_pad(3), use_bias=False,
-                    kernel_init=kaiming_out)(x)
+                    kernel_init=kaiming_out, dtype=self.dtype)(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5)(y)
+                         epsilon=1e-5, dtype=self.dtype)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), padding=torch_pad(3), use_bias=False,
-                    kernel_init=kaiming_out)(y)
+                    kernel_init=kaiming_out, dtype=self.dtype)(y)
         # zero_init_residual=True (reference models.py:96): scale starts at 0
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, scale_init=nn.initializers.zeros)(y)
+                         epsilon=1e-5, scale_init=nn.initializers.zeros,
+                         dtype=self.dtype)(y)
         if self.stride != 1 or x.shape[-1] != self.features:
             identity = nn.Conv(self.features, (1, 1),
                                strides=(self.stride, self.stride),
                                use_bias=False, kernel_init=kaiming_out,
-                               name="downsample_conv")(x)
+                               name="downsample_conv", dtype=self.dtype)(x)
             identity = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                    epsilon=1e-5, name="downsample_bn")(identity)
+                                    epsilon=1e-5, name="downsample_bn",
+                                    dtype=self.dtype)(identity)
         return nn.relu(y + identity)
 
 

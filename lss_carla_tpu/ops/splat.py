@@ -113,7 +113,10 @@ def voxel_pooling(geom: jnp.ndarray, feats: jnp.ndarray, dx, bx, nx,
         out = jax.vmap(lambda f, i: splat_scatter_add(f, i, num_slots))(pts, flat)
     elif method == "pallas":
         from lss_carla_tpu.ops.splat_pallas import splat_pallas_batched
-        out = splat_pallas_batched(pts, flat, num_slots)
+        # compiled Mosaic kernel on TPU backends; interpreter elsewhere (CPU
+        # tests) — identical semantics either way
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        out = splat_pallas_batched(pts, flat, num_slots, interpret)
     else:
         raise ValueError(f"unknown splat method: {method}")
 

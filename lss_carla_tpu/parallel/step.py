@@ -1,0 +1,100 @@
+"""shard_map data-parallel train/eval steps.
+
+One XLA program per step: each chip runs the full forward/backward on its
+batch shard, then grads are ``pmean``-ed over ICI and the (replicated)
+optimizer update is applied identically on every chip. BN uses per-chip batch
+statistics during normalization (matching the reference's single-device
+semantics at per-chip batch size) and ``pmean``s the running-stat updates so
+the stored EMA stays replicated and deterministic.
+
+Loss is the global elementwise mean: per-shard means are ``pmean``-ed, which
+is exact because shards are equal-sized (the input pipeline pads/drops to
+keep global batch divisible by the mesh size, like the reference's
+``drop_last=True`` loader).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from lss_carla_tpu.parallel.mesh import DATA_AXIS, batch_sharding, replicated
+from lss_carla_tpu.training.loss import bce_with_logits, get_batch_iou_counts
+
+
+def make_sharded_train_step(model, mesh, pos_weight: float = 2.13):
+    """Returns train_step(state, batch, rng) -> (state, metrics); batch is
+    sharded on its leading axis over the mesh, state is replicated, and
+    metrics {loss, intersect, union} are global (already reduced)."""
+
+    batch_spec = P(DATA_AXIS)
+    rep = P()
+
+    def step(state, batch, rng):
+        imgs, rots, trans, intrins, post_rots, post_trans, binimgs = batch
+        # decorrelate dropout across chips
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+
+        def loss_fn(params):
+            out, muts = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                imgs, rots, trans, intrins, post_rots, post_trans, train=True,
+                rngs={"dropout": rng}, mutable=["batch_stats"])
+            loss = bce_with_logits(out, binimgs, pos_weight)
+            return loss, (out, muts["batch_stats"])
+
+        (loss, (logits, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+        new_bs = jax.lax.pmean(new_bs, DATA_AXIS)
+
+        state = state.apply_gradients(grads=grads).replace(batch_stats=new_bs)
+        intersect, union = get_batch_iou_counts(logits, binimgs)
+        metrics = {
+            "loss": loss,
+            "intersect": jax.lax.psum(intersect, DATA_AXIS),
+            "union": jax.lax.psum(union, DATA_AXIS),
+        }
+        return state, metrics
+
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(rep, tuple([batch_spec] * 7), rep),
+        out_specs=(rep, rep),
+        check_vma=False)
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_sharded_eval_step(model, mesh, pos_weight: float = 2.13):
+    """Sharded eval: returns global {loss_sum, intersect, union, batch}."""
+
+    batch_spec = P(DATA_AXIS)
+    rep = P()
+
+    def step(state, batch):
+        imgs, rots, trans, intrins, post_rots, post_trans, binimgs = batch
+        logits = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            imgs, rots, trans, intrins, post_rots, post_trans, train=False)
+        loss = bce_with_logits(logits, binimgs, pos_weight)
+        intersect, union = get_batch_iou_counts(logits, binimgs)
+        return {
+            "loss_sum": jax.lax.psum(loss * imgs.shape[0], DATA_AXIS),
+            "intersect": jax.lax.psum(intersect, DATA_AXIS),
+            "union": jax.lax.psum(union, DATA_AXIS),
+            "batch": jax.lax.psum(
+                jnp.asarray(imgs.shape[0], jnp.float32), DATA_AXIS),
+        }
+
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(rep, tuple([batch_spec] * 7)),
+        out_specs=rep,
+        check_vma=False)
+    return jax.jit(sharded)

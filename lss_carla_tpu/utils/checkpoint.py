@@ -1,0 +1,90 @@
+"""Orbax checkpointing with the reference's logical contract.
+
+The reference saves torch dicts ``{model_state_dict, optimizer_state_dict,
+counter, epoch[, val_iou]}`` as ``model_{counter:06d}.pt`` / ``model_best.pt``
+/ ``model_final.pt`` (``train_simbev.py:417-453``). Here the same contract
+maps onto Orbax: each checkpoint stores the full TrainState pytree (params +
+opt_state + batch_stats + step) plus a small metadata dict, keyed by the
+global step counter; "best" is tracked via metadata and a ``best`` pointer
+file. ``resume`` restores state + counter + epoch exactly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 5):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True,
+                best_fn=None, enable_async_checkpointing=False),
+        )
+        self._best_path = os.path.join(self.directory, "best.json")
+
+    # --- save ---
+
+    def save(self, step: int, state, epoch: int,
+             val_iou: Optional[float] = None, tag: Optional[str] = None):
+        meta = {"counter": int(step), "epoch": int(epoch)}
+        if val_iou is not None:
+            meta["val_iou"] = float(val_iou)
+        if int(step) in self._mgr.all_steps():
+            # idempotent re-save at the same counter (periodic + final/best
+            # can coincide): replace the existing checkpoint
+            self._mgr.delete(int(step))
+        self._mgr.save(
+            int(step),
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(state),
+                meta=ocp.args.JsonSave(meta),
+            ),
+            force=True,
+        )
+        self._mgr.wait_until_finished()
+        if tag == "best":
+            with open(self._best_path, "w") as f:
+                json.dump(meta, f)
+
+    def save_best(self, step: int, state, epoch: int, val_iou: float):
+        self.save(step, state, epoch, val_iou, tag="best")
+
+    # --- restore ---
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def best_step(self) -> Optional[int]:
+        if os.path.exists(self._best_path):
+            with open(self._best_path) as f:
+                return int(json.load(f)["counter"])
+        return None
+
+    def restore(self, abstract_state, step: Optional[int] = None
+                ) -> Tuple[Any, dict]:
+        """Restore (state, meta). ``abstract_state``: a target TrainState (or
+        jax.eval_shape of one) defining the tree structure."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        restored = self._mgr.restore(
+            int(step),
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(abstract_state),
+                meta=ocp.args.JsonRestore(),
+            ),
+        )
+        return restored["state"], restored["meta"]
+
+    def close(self):
+        self._mgr.close()

@@ -1,0 +1,57 @@
+"""Original-LSS nuScenes-style training config on TPU.
+
+The reference keeps the upstream nuScenes entry points as dead code (broken
+imports, SURVEY §2.14-2.15); what *is* preserved there is the config:
+H=900 W=1600, resize_lim=(0.193, 0.225), bot_pct_lim=(0.0, 0.22),
+rot_lim=(-5.4, 5.4), rand_flip=True, ncams=5, bsz=16
+(reference ``src/train.py:23-43``). This script runs that augmented config
+through the TPU trainer against SimBEV-format data (matching BASELINE.json
+config "scripts/train_nuscenes.py grid").
+
+    python scripts/train_nuscenes.py --dataroot /data/SimBEV_900p
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from lss_carla_tpu.training.loop import train
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataroot", required=True)
+    p.add_argument("--nepochs", type=int, default=10000)
+    p.add_argument("--bsz", type=int, default=16)
+    p.add_argument("--nworkers", type=int, default=10)
+    p.add_argument("--logdir", default="./runs/nuscenes_style")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--weight_decay", type=float, default=1e-7)
+    p.add_argument("--n_devices", type=int, default=None)
+    p.add_argument("--max_steps", type=int, default=None)
+    args = p.parse_args()
+
+    train(
+        dataroot=args.dataroot,
+        nepochs=args.nepochs,
+        H=900, W=1600,
+        resize_lim=(0.193, 0.225),
+        final_dim=(128, 352),
+        bot_pct_lim=(0.0, 0.22),
+        rot_lim=(-5.4, 5.4),
+        rand_flip=True,
+        ncams=5,
+        bsz=args.bsz,
+        nworkers=args.nworkers,
+        lr=args.lr,
+        weight_decay=args.weight_decay,
+        logdir=args.logdir,
+        n_devices=args.n_devices,
+        max_steps=args.max_steps,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -19,6 +19,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# CPU compiles of the bigger models dominate test time; cache them on disk so
+# repeat runs are fast.
+_cache_dir = os.path.expanduser("~/.cache/jax_test_compilation")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
 import numpy as np
 import pytest
 

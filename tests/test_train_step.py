@@ -1,0 +1,105 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lss_carla_tpu.parallel import make_mesh, make_sharded_eval_step, \
+    make_sharded_train_step, replicate, shard_batch
+from lss_carla_tpu.training import create_train_state, make_eval_step, \
+    make_train_step
+from lss_carla_tpu.training.loss import bce_with_logits, get_batch_iou
+
+from util import tiny_batch, tiny_model
+
+
+def test_bce_matches_torch():
+    import torch
+    rng = np.random.default_rng(1)
+    logits = rng.normal(size=(2, 1, 8, 8)).astype(np.float32)
+    targets = (rng.uniform(size=(2, 1, 8, 8)) < 0.3).astype(np.float32)
+    want = torch.nn.BCEWithLogitsLoss(
+        pos_weight=torch.tensor([2.13]))(torch.from_numpy(logits),
+                                         torch.from_numpy(targets))
+    got = bce_with_logits(jnp.asarray(logits), jnp.asarray(targets), 2.13)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
+def test_batch_iou_reference_semantics():
+    logits = jnp.array([[1.0, -1.0], [0.5, -0.5]])
+    tgt = jnp.array([[1.0, 1.0], [0.0, 0.0]])
+    i, u, iou = get_batch_iou(logits, tgt)
+    assert (i, u) == (1.0, 3.0)
+    assert iou == pytest.approx(1 / 3)
+    # union == 0 -> iou = 1.0 convention
+    _, _, iou0 = get_batch_iou(jnp.array([-1.0]), jnp.array([0.0]))
+    assert iou0 == 1.0
+
+
+@pytest.fixture(scope="module")
+def state_and_batch():
+    model = tiny_model()
+    rng = np.random.default_rng(0)
+    batch = tiny_batch(rng)
+    sample_args = tuple(jnp.asarray(a) for a in batch[:6])
+    state = create_train_state(model, jax.random.PRNGKey(0), sample_args)
+    return model, state, tuple(jnp.asarray(a) for a in batch)
+
+
+def test_train_step_updates_and_learns(state_and_batch):
+    model, state, batch = state_and_batch
+    step = make_train_step(model, pos_weight=2.13)
+    losses = []
+    # the step donates its input state; work on a copy so the module-scoped
+    # fixture stays alive for the other tests
+    s = jax.tree_util.tree_map(jnp.copy, state)
+    for i in range(8):
+        s, metrics = step(s, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert int(s.step) == 8
+    # overfitting a fixed batch must reduce loss
+    assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_eval_step_accumulates(state_and_batch):
+    model, state, batch = state_and_batch
+    ev = make_eval_step(model, pos_weight=2.13)
+    m = ev(state, batch)
+    assert float(m["batch"]) == batch[0].shape[0]
+    assert np.isfinite(float(m["loss_sum"]))
+    assert float(m["union"]) >= 0
+
+
+def test_sharded_train_step_matches_metrics_shape(state_and_batch):
+    model, state, _ = state_and_batch
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(3)
+    batch = tiny_batch(rng, B=8)
+    step = make_sharded_train_step(model, mesh, pos_weight=2.13)
+    # copy before replicating: replication may alias the source buffer as one
+    # shard, and the donating step would free the module-scoped fixture
+    s = replicate(mesh, jax.tree_util.tree_map(jnp.copy, state))
+    db = shard_batch(mesh, batch)
+    s, metrics = step(s, db, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(s.step) == 1
+    # params stay replicated and identical across devices
+    p = jax.tree_util.tree_leaves(s.params)[0]
+    assert p.sharding.is_fully_replicated
+
+
+def test_sharded_eval_matches_single_device(state_and_batch):
+    """Eval has no BN-stat updates or dropout, so sharded == single-device."""
+    model, state, _ = state_and_batch
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(4)
+    batch = tuple(jnp.asarray(a) for a in tiny_batch(rng, B=8))
+    single = make_eval_step(model, pos_weight=2.13)(state, batch)
+    sh = make_sharded_eval_step(model, mesh, pos_weight=2.13)(
+        replicate(mesh, state), shard_batch(mesh, batch))
+    np.testing.assert_allclose(float(sh["loss_sum"]),
+                               float(single["loss_sum"]), rtol=2e-4)
+    np.testing.assert_allclose(float(sh["intersect"]),
+                               float(single["intersect"]), rtol=1e-6)
+    np.testing.assert_allclose(float(sh["union"]), float(single["union"]),
+                               rtol=1e-6)

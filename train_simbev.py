@@ -1,0 +1,88 @@
+"""Training CLI for the TPU-native LSS engine on SimBEV.
+
+Mirrors the reference CLI flag-for-flag (reference ``train_simbev.py:463-538``)
+and adds TPU-native flags (--n_devices, --splat_method, --variant,
+--max_steps, --profile_dir).
+
+    python train_simbev.py --dataroot /data/SimBEV --bsz 8 --nworkers 8
+"""
+
+import argparse
+
+from lss_carla_tpu.training.loop import train
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Train LSS on SimBEV (TPU)")
+
+    parser.add_argument('--dataroot', type=str, required=True,
+                        help='Path to SimBEV dataset root directory')
+    parser.add_argument('--nepochs', type=int, default=100)
+    parser.add_argument('--gpuid', type=int, default=0,
+                        help='ignored (TPU build; kept for CLI compatibility)')
+    parser.add_argument('--bsz', type=int, default=4)
+    parser.add_argument('--nworkers', type=int, default=4)
+    parser.add_argument('--lr', type=float, default=1e-3)
+    parser.add_argument('--weight_decay', type=float, default=1e-7)
+
+    parser.add_argument('--H', type=int, default=224)
+    parser.add_argument('--W', type=int, default=480)
+    parser.add_argument('--final_h', type=int, default=128)
+    parser.add_argument('--final_w', type=int, default=352)
+    parser.add_argument('--ncams', type=int, default=6)
+
+    parser.add_argument('--logdir', type=str, default='./runs/simbev')
+    parser.add_argument('--val_step', type=int, default=500)
+    parser.add_argument('--save_step', type=int, default=1000)
+    parser.add_argument('--resume', type=str, default=None)
+
+    parser.add_argument('--use_wandb', action='store_true', default=False)
+    parser.add_argument('--wandb_project', type=str, default='lift-splat-shoot')
+    parser.add_argument('--wandb_name', type=str, default=None)
+    parser.add_argument('--wandb_entity', type=str, default=None)
+
+    # TPU-native extras
+    parser.add_argument('--n_devices', type=int, default=None,
+                        help='number of chips for data parallelism (default all)')
+    parser.add_argument('--splat_method', type=str, default='scatter',
+                        choices=['scatter', 'pallas'])
+    parser.add_argument('--compute_dtype', type=str, default='float32',
+                        choices=['float32', 'bfloat16'])
+    parser.add_argument('--variant', type=str, default='b0',
+                        choices=['b0', 'b1', 'b2', 'b3', 'b4'])
+    parser.add_argument('--max_steps', type=int, default=None)
+    parser.add_argument('--profile_dir', type=str, default=None)
+    parser.add_argument('--seed', type=int, default=42)
+
+    args = parser.parse_args()
+    train(
+        dataroot=args.dataroot,
+        nepochs=args.nepochs,
+        H=args.H,
+        W=args.W,
+        final_dim=(args.final_h, args.final_w),
+        ncams=args.ncams,
+        bsz=args.bsz,
+        nworkers=args.nworkers,
+        lr=args.lr,
+        weight_decay=args.weight_decay,
+        logdir=args.logdir,
+        val_step=args.val_step,
+        save_step=args.save_step,
+        resume=args.resume,
+        use_wandb=args.use_wandb,
+        wandb_project=args.wandb_project,
+        wandb_name=args.wandb_name,
+        wandb_entity=args.wandb_entity,
+        n_devices=args.n_devices,
+        splat_method=args.splat_method,
+        compute_dtype=args.compute_dtype,
+        variant=args.variant,
+        max_steps=args.max_steps,
+        profile_dir=args.profile_dir,
+        seed=args.seed,
+    )
+
+
+if __name__ == '__main__':
+    main()
