@@ -24,20 +24,10 @@ def get_rot2d(h: float) -> np.ndarray:
     ], dtype=np.float64)
 
 
-def img_transform(img: Image.Image, resize: float,
-                  resize_dims: Tuple[int, int], crop: Tuple[int, int, int, int],
-                  flip: bool, rotate: float):
-    """Apply resize/crop/flip/rotate; return (img, post_rot2, post_tran2).
-
-    post_rot2 (2,2) / post_tran2 (2,) satisfy: for any source pixel p,
-    its location in the output image is ``post_rot2 @ p + post_tran2``.
-    """
-    img = img.resize(resize_dims)
-    img = img.crop(crop)
-    if flip:
-        img = img.transpose(method=Image.FLIP_LEFT_RIGHT)
-    img = img.rotate(rotate)
-
+def post_homography(resize: float, crop: Tuple[int, int, int, int],
+                    flip: bool, rotate: float):
+    """The 2D affine (post_rot, post_tran) matching resize/crop/flip/rotate:
+    a source pixel p lands at ``post_rot @ p + post_tran`` in the output."""
     post_rot = np.eye(2, dtype=np.float64) * resize
     post_tran = -np.asarray(crop[:2], dtype=np.float64)
     crop_w = crop[2] - crop[0]
@@ -52,8 +42,25 @@ def img_transform(img: Image.Image, resize: float,
     b = A @ (-b) + b
     post_rot = A @ post_rot
     post_tran = A @ post_tran + b
+    return post_rot.astype(np.float32), post_tran.astype(np.float32)
 
-    return img, post_rot.astype(np.float32), post_tran.astype(np.float32)
+
+def img_transform(img: Image.Image, resize: float,
+                  resize_dims: Tuple[int, int], crop: Tuple[int, int, int, int],
+                  flip: bool, rotate: float):
+    """Apply resize/crop/flip/rotate; return (img, post_rot2, post_tran2).
+
+    post_rot2 (2,2) / post_tran2 (2,) satisfy: for any source pixel p,
+    its location in the output image is ``post_rot2 @ p + post_tran2``.
+    """
+    img = img.resize(resize_dims)
+    img = img.crop(crop)
+    if flip:
+        img = img.transpose(method=Image.FLIP_LEFT_RIGHT)
+    img = img.rotate(rotate)
+
+    post_rot, post_tran = post_homography(resize, crop, flip, rotate)
+    return img, post_rot, post_tran
 
 
 def sample_augmentation(data_aug_conf, is_train: bool):

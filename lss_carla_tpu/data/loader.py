@@ -130,20 +130,24 @@ def prefetch_to_device(iterator, size: int = 2, device_put=None):
 
 def compile_data(version, dataroot, data_aug_conf, grid_conf, bsz: int,
                  nworkers: int, parser_name: str = "segmentationdata",
-                 drop_to_multiple_of: Optional[int] = None):
+                 drop_to_multiple_of: Optional[int] = None,
+                 dataset_kwargs: Optional[dict] = None):
     """Reference-parity loader factory (``data_simbev.py:315-354``).
 
     Returns (trainloader, valloader). ``version`` is unused (API compat).
     ``drop_to_multiple_of``: if set, the val loader also drops remainder
     batches so every batch is shardable over a device mesh.
+    ``dataset_kwargs``: extra SimBEVDataset options (orientation,
+    extrinsic_noise, label_mode, label_classes).
     """
     from lss_carla_tpu.data.simbev import SegmentationData, VizData
     parser = {"vizdata": VizData, "segmentationdata": SegmentationData}[parser_name]
+    dataset_kwargs = dataset_kwargs or {}
 
     traindata = parser(dataroot, is_train=True, data_aug_conf=data_aug_conf,
-                       grid_conf=grid_conf)
+                       grid_conf=grid_conf, **dataset_kwargs)
     valdata = parser(dataroot, is_train=False, data_aug_conf=data_aug_conf,
-                     grid_conf=grid_conf)
+                     grid_conf=grid_conf, **dataset_kwargs)
 
     trainloader = DataLoader(traindata, batch_size=bsz, shuffle=True,
                              drop_last=True, num_workers=nworkers)

@@ -30,7 +30,8 @@ import numpy as np
 from PIL import Image
 
 from lss_carla_tpu.configs import DataAugConf, GridConf
-from lss_carla_tpu.data.augment import img_transform, sample_augmentation
+from lss_carla_tpu.data.augment import (img_transform, post_homography,
+                                        sample_augmentation)
 from lss_carla_tpu.ops.geometry import gen_dx_bx
 from lss_carla_tpu.ops.image import normalize_img
 
@@ -42,7 +43,24 @@ CAMERA_ORDER = [
 TRAIN_SPLIT_FRACTION = 0.8
 
 
-def scan_samples(dataroot, is_train: bool) -> List[dict]:
+def _perturb_extrinsics(rot: np.ndarray, tran: np.ndarray,
+                        rot_deg_std: float, trans_m_std: float):
+    """Small-angle Gaussian perturbation of an extrinsic pair (train-time
+    robustness augmentation; the hook the CVT loader sketches at
+    ``scripts/cvt_simbev_dataloader.py:42-44``)."""
+    angles = np.random.normal(0.0, np.deg2rad(rot_deg_std), size=3)
+    cx, cy, cz = np.cos(angles)
+    sx, sy, sz = np.sin(angles)
+    Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    noise = (Rz @ Ry @ Rx).astype(np.float32)
+    d_tran = np.random.normal(0.0, trans_m_std, size=3).astype(np.float32)
+    return (noise @ rot).astype(np.float32), tran + d_tran
+
+
+def scan_samples(dataroot, is_train: bool,
+                 orientation: str = "yaw0pitch0") -> List[dict]:
     """Scan scene dirs, apply the sorted 80/20 scene split, read meta.json."""
     dataroot = Path(dataroot)
     labels_dir = dataroot / "SimBEV_cvt_label"
@@ -59,7 +77,7 @@ def scan_samples(dataroot, is_train: bool) -> List[dict]:
 
     samples = []
     for scene_dir in selected:
-        meta_path = scene_dir / "yaw0pitch0" / "meta.json"
+        meta_path = scene_dir / orientation / "meta.json"
         if not meta_path.exists():
             continue
         with open(meta_path) as f:
@@ -76,18 +94,47 @@ def scan_samples(dataroot, is_train: bool) -> List[dict]:
 
 
 class SimBEVDataset:
-    """Map-style dataset over SimBEV samples."""
+    """Map-style dataset over SimBEV samples.
 
-    def __init__(self, dataroot, is_train: bool, data_aug_conf, grid_conf):
+    Optional extensions beyond the reference loader (schema features of the
+    CVT SimBEV loader the reference keeps as a vestigial reference,
+    ``scripts/cvt_simbev_dataloader.py:42-44,240-247``):
+
+    * ``orientation``: which camera-rig orientation directory to read
+      (default the reference's hard-coded ``yaw0pitch0``);
+    * ``extrinsic_noise``: (rot_deg_std, trans_m_std) — train-time Gaussian
+      perturbation of the per-camera extrinsics (robustness augmentation);
+    * ``label_mode``: ``"vehicle_binary"`` (reference behavior: classes
+      1|2|3 merged) or ``"multiclass"`` with ``label_classes`` giving the
+      channel indices to stack (stretch config: drivable + 3 vehicle types).
+    """
+
+    def __init__(self, dataroot, is_train: bool, data_aug_conf, grid_conf,
+                 orientation: str = "yaw0pitch0",
+                 extrinsic_noise=None,
+                 label_mode: str = "vehicle_binary",
+                 label_classes=(0, 1, 2, 3),
+                 use_native: bool = True):
         self.dataroot = Path(dataroot)
         self.is_train = is_train
         self.data_aug_conf = (data_aug_conf if isinstance(data_aug_conf, DataAugConf)
                               else DataAugConf.from_dict(data_aug_conf))
         self.grid_conf = (grid_conf if isinstance(grid_conf, GridConf)
                           else GridConf.from_dict(grid_conf))
-        self.samples = scan_samples(dataroot, is_train)
+        self.orientation = orientation
+        self.extrinsic_noise = extrinsic_noise
+        self.label_mode = label_mode
+        self.label_classes = tuple(label_classes)
+        self.samples = scan_samples(dataroot, is_train, orientation)
         self.dx, self.bx, self.nx = gen_dx_bx(
             self.grid_conf.xbound, self.grid_conf.ybound, self.grid_conf.zbound)
+        self._native = False
+        if use_native:
+            try:
+                from lss_carla_tpu.native import fastimage_available
+                self._native = fastimage_available()
+            except Exception:
+                self._native = False
         print(self)
 
     def choose_cams(self) -> Sequence[int]:
@@ -103,23 +150,46 @@ class SimBEVDataset:
         aug = sample_augmentation(self.data_aug_conf, self.is_train)
         resize, resize_dims, crop, flip, rotate = aug
 
+        # native fast path only when the pixel pipeline is a pure crop
+        # (the SimBEV default config: resize 1:1, no flip/rotate)
+        trivial_pixels = (not flip and rotate == 0.0
+                          and resize_dims == (self.data_aug_conf.W,
+                                              self.data_aug_conf.H))
+
         for cam_idx in cam_indices:
-            img = Image.open(self.dataroot / sample["images"][cam_idx])
+            img_path = self.dataroot / sample["images"][cam_idx]
             intrin = np.asarray(sample["intrinsics"][cam_idx], dtype=np.float32)
             extrin = np.asarray(sample["extrinsics"][cam_idx], dtype=np.float32)
             rot, tran = extrin[:3, :3], extrin[:3, 3]
+            if self.is_train and self.extrinsic_noise is not None:
+                rot, tran = _perturb_extrinsics(rot, tran,
+                                                *self.extrinsic_noise)
 
-            img, post_rot2, post_tran2 = img_transform(
-                img, resize, resize_dims, crop, flip, rotate)
+            img_chw = None
+            if self._native and trivial_pixels and \
+                    img_path.suffix.lower() in (".jpg", ".jpeg"):
+                try:
+                    from lss_carla_tpu.native import decode_crop_normalize
+                    img_chw = decode_crop_normalize(img_path.read_bytes(),
+                                                    crop)
+                    post_rot2, post_tran2 = post_homography(
+                        resize, crop, flip, rotate)
+                except Exception:
+                    img_chw = None  # fall back to PIL below
+
+            if img_chw is None:
+                img = Image.open(img_path)
+                img, post_rot2, post_tran2 = img_transform(
+                    img, resize, resize_dims, crop, flip, rotate)
+                img_chw = normalize_img(
+                    np.asarray(img.convert("RGB"))).transpose(2, 0, 1)
 
             post_rot3 = np.eye(3, dtype=np.float32)
             post_tran3 = np.zeros(3, dtype=np.float32)
             post_rot3[:2, :2] = post_rot2
             post_tran3[:2] = post_tran2
 
-            # normalized, reference NCHW layout
-            imgs.append(normalize_img(np.asarray(img.convert("RGB")))
-                        .transpose(2, 0, 1))
+            imgs.append(img_chw)  # normalized, reference NCHW layout
             intrins.append(intrin)
             rots.append(rot)
             trans.append(tran)
@@ -131,9 +201,15 @@ class SimBEVDataset:
 
     def get_binimg(self, sample) -> np.ndarray:
         bev = np.load(Path(sample["meta_dir"]) / sample["bev"])["bev"]
-        vehicle = ((bev[1] > 0) | (bev[2] > 0) | (bev[3] > 0)).astype(np.float32)
-        vehicle = np.flipud(vehicle).copy()  # SimBEV->LSS Y convention
-        return vehicle[None]
+        if self.label_mode == "vehicle_binary":
+            vehicle = ((bev[1] > 0) | (bev[2] > 0)
+                       | (bev[3] > 0)).astype(np.float32)
+            return np.flipud(vehicle).copy()[None]
+        elif self.label_mode == "multiclass":
+            chans = [np.flipud((bev[c] > 0).astype(np.float32)).copy()
+                     for c in self.label_classes]
+            return np.stack(chans)
+        raise ValueError(f"unknown label_mode: {self.label_mode}")
 
     def __len__(self):
         return len(self.samples)

@@ -1,0 +1,9 @@
+"""Native (C++) host-pipeline components, loaded via ctypes.
+
+The library builds lazily on first use (g++ + system libjpeg) and caches the
+.so next to the source. Everything here is optional: callers fall back to
+the pure-Python path when the toolchain or libjpeg is unavailable.
+"""
+
+from lss_carla_tpu.native.fastimage import (  # noqa: F401
+    decode_crop_normalize, fastimage_available, jpeg_dims)

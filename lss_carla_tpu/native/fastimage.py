@@ -1,0 +1,105 @@
+"""ctypes binding for the native JPEG decode+crop+normalize pipeline.
+
+Builds ``libfastimage.so`` from ``fastimage.cpp`` on first use (cached beside
+the source). Falls back cleanly: ``fastimage_available()`` is False when g++
+or libjpeg is missing, and callers use the PIL path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+from lss_carla_tpu.ops.image import IMAGENET_MEAN, IMAGENET_STD
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "fastimage.cpp")
+_SO = os.path.join(_HERE, "libfastimage.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+_MEAN = np.ascontiguousarray(IMAGENET_MEAN, dtype=np.float32)
+_INV_STD = np.ascontiguousarray(1.0 / IMAGENET_STD, dtype=np.float32)
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    global _build_failed
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return ctypes.CDLL(_SO)
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
+             "-ljpeg", "-o", _SO + ".tmp"],
+            check=True, capture_output=True)
+        os.replace(_SO + ".tmp", _SO)
+        return ctypes.CDLL(_SO)
+    except (subprocess.CalledProcessError, OSError) as e:
+        _build_failed = True
+        return None
+
+
+def _get_lib() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None or _build_failed:
+        return _lib
+    with _lock:
+        if _lib is None and not _build_failed:
+            lib = _build()
+            if lib is not None:
+                lib.decode_crop_normalize.restype = ctypes.c_int
+                lib.decode_crop_normalize.argtypes = [
+                    ctypes.c_char_p, ctypes.c_long,
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_float),
+                ]
+                lib.jpeg_dims.restype = ctypes.c_int
+                lib.jpeg_dims.argtypes = [
+                    ctypes.c_char_p, ctypes.c_long,
+                    ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+            _lib = lib
+    return _lib
+
+
+def fastimage_available() -> bool:
+    return _get_lib() is not None
+
+
+def jpeg_dims(data: bytes) -> Tuple[int, int]:
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("fastimage unavailable")
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    rc = lib.jpeg_dims(data, len(data), ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        raise ValueError("invalid JPEG")
+    return w.value, h.value
+
+
+def decode_crop_normalize(data: bytes, crop: Tuple[int, int, int, int]
+                          ) -> np.ndarray:
+    """JPEG bytes + PIL-style crop box (l, t, r, b) -> normalized float32
+    CHW array (3, b-t, r-l). Raises on bad input (caller falls back)."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("fastimage unavailable")
+    left, top, right, bottom = crop
+    out_w, out_h = right - left, bottom - top
+    out = np.empty((3, out_h, out_w), dtype=np.float32)
+    rc = lib.decode_crop_normalize(
+        data, len(data), left, top, out_w, out_h,
+        _MEAN.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        _INV_STD.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if rc != 0:
+        raise ValueError(f"decode_crop_normalize failed (rc={rc})")
+    return out

@@ -95,6 +95,9 @@ def train(
     compute_dtype: str = "float32",
     variant: str = "b0",
     outC: int = 1,
+    label_mode: str = "vehicle_binary",  # "multiclass" for the stretch config
+    label_classes=(0, 1, 2, 3),
+    extrinsic_noise=None,              # (rot_deg_std, trans_m_std) or None
     max_steps: Optional[int] = None,   # early stop for smoke/bench runs
     profile_dir: Optional[str] = None,  # jax.profiler trace output
 ):
@@ -135,10 +138,15 @@ def train(
     print(f"  splat: {splat_method}  trunk: efficientnet-{variant}")
     print("=" * 80)
 
+    if label_mode == "multiclass":
+        outC = len(label_classes)
     trainloader, valloader = compile_data(
         "unused", dataroot, data_aug_conf, grid_conf, bsz=bsz,
         nworkers=nworkers, parser_name="segmentationdata",
-        drop_to_multiple_of=n_devices if use_mesh else None)
+        drop_to_multiple_of=n_devices if use_mesh else None,
+        dataset_kwargs={"label_mode": label_mode,
+                        "label_classes": tuple(label_classes),
+                        "extrinsic_noise": extrinsic_noise})
     print(f"Train batches: {len(trainloader)}  Val batches: {len(valloader)}")
 
     model = compile_model(grid_conf, data_aug_conf, outC=outC,
@@ -194,6 +202,22 @@ def train(
     if viz_step:
         from lss_carla_tpu.training.step import make_predict_step
         predict_fn = make_predict_step(model)
+
+    # Preemption safety (no reference equivalent): on SIGTERM/SIGINT save a
+    # resumable checkpoint before exiting. TPU pools preempt with SIGTERM.
+    preempted = {"flag": False}
+
+    def _on_signal(signum, frame):
+        print(f"signal {signum} received -> checkpoint and exit")
+        preempted["flag"] = True
+
+    import signal
+    prev_handlers = {}
+    try:
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            prev_handlers[sig] = signal.signal(sig, _on_signal)
+    except ValueError:
+        prev_handlers = {}  # not in main thread (e.g. under a test runner)
 
     print("Starting training...")
     stop = False
@@ -253,11 +277,19 @@ def train(
             if save_step and counter % save_step == 0:
                 ckpt.save(counter, state, epoch)
 
+            if preempted["flag"]:
+                ckpt.save(counter, state, epoch)
+                stop = True
+                break
             if max_steps is not None and counter >= max_steps:
                 stop = True
                 break
         if stop:
             break
+
+    for sig, h in prev_handlers.items():
+        import signal as _signal
+        _signal.signal(sig, h)
 
     if profile_dir:
         jax.profiler.stop_trace()

@@ -48,6 +48,14 @@ def main():
                         choices=['scatter', 'pallas'])
     parser.add_argument('--compute_dtype', type=str, default='float32',
                         choices=['float32', 'bfloat16'])
+    parser.add_argument('--label_mode', type=str, default='vehicle_binary',
+                        choices=['vehicle_binary', 'multiclass'])
+    parser.add_argument('--label_classes', type=int, nargs='+',
+                        default=[0, 1, 2, 3],
+                        help='BEV channels for --label_mode multiclass')
+    parser.add_argument('--extrinsic_noise', type=float, nargs=2,
+                        default=None, metavar=('ROT_DEG_STD', 'TRANS_M_STD'),
+                        help='train-time extrinsic perturbation')
     parser.add_argument('--variant', type=str, default='b0',
                         choices=['b0', 'b1', 'b2', 'b3', 'b4'])
     parser.add_argument('--max_steps', type=int, default=None)
@@ -77,6 +85,10 @@ def main():
         n_devices=args.n_devices,
         splat_method=args.splat_method,
         compute_dtype=args.compute_dtype,
+        label_mode=args.label_mode,
+        label_classes=tuple(args.label_classes),
+        extrinsic_noise=(tuple(args.extrinsic_noise)
+                         if args.extrinsic_noise else None),
         variant=args.variant,
         max_steps=args.max_steps,
         profile_dir=args.profile_dir,
