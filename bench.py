@@ -54,6 +54,39 @@ def build(bsz, splat_method="scatter", dtype="float32"):
     return step, state, batch
 
 
+def bench_input(bsz: int, iters: int):
+    """Host input-pipeline throughput: images/sec through the threaded
+    loader (native decode path when available)."""
+    import tempfile
+    from lss_carla_tpu.configs import DataAugConf, GridConf
+    from lss_carla_tpu.data.fixtures import generate_fixture
+    from lss_carla_tpu.data.loader import DataLoader
+    from lss_carla_tpu.data.simbev import SegmentationData
+
+    root = generate_fixture(tempfile.mkdtemp(prefix="bench_input_"),
+                            num_scenes=2, samples_per_scene=16,
+                            H=224, W=480)
+    ds = SegmentationData(root, is_train=True, data_aug_conf=DataAugConf(),
+                          grid_conf=GridConf())
+    dl = DataLoader(ds, batch_size=bsz, shuffle=True, drop_last=True,
+                    num_workers=8)
+    n_img = 0
+    for b in dl:  # warmup epoch
+        n_img += b[0].shape[0] * b[0].shape[1]
+    t0 = time.perf_counter()
+    n_img = 0
+    for _ in range(iters):
+        for b in dl:
+            n_img += b[0].shape[0] * b[0].shape[1]
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "input_pipeline_images_per_sec",
+        "value": round(n_img / dt, 1),
+        "unit": "img/s",
+        "vs_baseline": None,
+    }))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--bsz", type=int, default=8)
@@ -63,7 +96,12 @@ def main():
                    choices=["scatter", "pallas"])
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--mode", default="step", choices=["step", "input"])
     args = p.parse_args()
+
+    if args.mode == "input":
+        bench_input(args.bsz, max(1, args.iters // 5))
+        return
 
     import jax
     step, state, batch = build(args.bsz, args.splat_method, args.dtype)

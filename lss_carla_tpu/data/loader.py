@@ -32,13 +32,20 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, num_workers: int = 4,
-                 seed: int = 13, prefetch_batches: int = 2):
+                 seed: int = 13, prefetch_batches: int = 2,
+                 shard_index: int = 0, num_shards: int = 1):
+        """``shard_index``/``num_shards``: multi-host input sharding — each
+        host iterates the same global shuffle but loads only its slice of
+        every batch (pass ``jax.process_index()``/``jax.process_count()``).
+        ``batch_size`` is the PER-HOST batch size."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_workers = max(0, num_workers)
         self.prefetch_batches = max(1, prefetch_batches)
+        self.shard_index = shard_index
+        self.num_shards = max(1, num_shards)
         self._epoch = 0
         self._seed = seed
 
@@ -52,8 +59,13 @@ class DataLoader:
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
+            # same seed on every host -> identical global order; each host
+            # takes its interleaved slice
             rng = np.random.default_rng(self._seed + self._epoch)
             rng.shuffle(order)
+        if self.num_shards > 1:
+            order = order[self.shard_index::self.num_shards]
+            n = len(order)
         batches = []
         for start in range(0, n, self.batch_size):
             idx = order[start:start + self.batch_size]

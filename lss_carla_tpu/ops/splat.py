@@ -109,6 +109,12 @@ def voxel_pooling(geom: jnp.ndarray, feats: jnp.ndarray, dx, bx, nx,
     flat = flat.reshape(B, -1)
     pts = feats.reshape(B, -1, C)
 
+    # Perf notes (TPU v5e, B=8, P=43296, C=64, S=40000, chained-in-jit):
+    #   XLA scatter-add (sort-based):        6.4 ms fwd   <- default
+    #   Pallas sequential-RMW kernel:        9.4 ms fwd (at S=20000!)
+    #   host-presorted gather+cumsum+diff:  16.0 ms fwd (cumsum-bound)
+    # XLA's sort-based scatter wins; "pallas" is kept as an alternative and
+    # for grids small enough to keep the accumulator resident in VMEM.
     if method == "scatter":
         out = jax.vmap(lambda f, i: splat_scatter_add(f, i, num_slots))(pts, flat)
     elif method == "pallas":
