@@ -87,6 +87,45 @@ def bench_input(bsz: int, iters: int):
     }))
 
 
+def bench_infer(bsz, iters, dtype):
+    """Forward-only latency (reference: ~100 ms/sample single GPU,
+    docs/README_SIMBEV.md:186)."""
+    import jax
+    from __graft_entry__ import _enable_compile_cache
+    _enable_compile_cache()
+    from lss_carla_tpu.configs import DataAugConf, GridConf
+    from lss_carla_tpu.models.lss import compile_model
+    from lss_carla_tpu.training.state import create_train_state
+    from lss_carla_tpu.training.step import make_predict_step
+
+    import jax.numpy as jnp
+    step, state, batch = build(bsz, "scatter", dtype)
+    predict = make_predict_step(None, jit=False)
+
+    # chain iterations inside one jit so device executions can't overlap or
+    # dedupe — measures true serial latency
+    def chained(imgs):
+        def body(_, x):
+            out = predict(state, (x, *batch[1:6]))
+            return x * (1.0 + 1e-12 * out[0, 0, 0, 0])
+        return jax.lax.fori_loop(0, iters, body, imgs)
+
+    cf = jax.jit(chained)
+    r = cf(batch[0])
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    r = cf(batch[0])
+    jax.block_until_ready(r)
+    ms = (time.perf_counter() - t0) / iters * 1000.0
+    ms_per_sample = ms / bsz
+    print(json.dumps({
+        "metric": f"inference_ms_per_sample_bsz{bsz}",
+        "value": round(ms_per_sample, 3),
+        "unit": "ms",
+        "vs_baseline": round(100.0 / ms_per_sample, 3),
+    }))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--bsz", type=int, default=8)
@@ -96,11 +135,14 @@ def main():
                    choices=["scatter", "pallas"])
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
-    p.add_argument("--mode", default="step", choices=["step", "input"])
+    p.add_argument("--mode", default="step", choices=["step", "input", "infer"])
     args = p.parse_args()
 
     if args.mode == "input":
         bench_input(args.bsz, max(1, args.iters // 5))
+        return
+    if args.mode == "infer":
+        bench_infer(args.bsz, args.iters, args.dtype)
         return
 
     import jax

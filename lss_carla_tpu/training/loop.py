@@ -239,7 +239,8 @@ def train(
                 iou = float(metrics["intersect"]) / union if union > 0 else 1.0
                 logger.scalars(counter, **{
                     "train/iou": iou, "train/epoch": epoch,
-                    "train/step_time": t1 - t0})
+                    "train/step_time": t1 - t0,
+                    "train/samples_per_sec": bsz / max(t1 - t0, 1e-9)})
                 print(f"[{epoch}] step {counter}: "
                       f"loss={float(metrics['loss']):.4f} iou={iou:.4f} "
                       f"step_time={t1 - t0:.3f}s")
