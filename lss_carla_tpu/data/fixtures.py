@@ -45,78 +45,99 @@ def _yaw_rot(deg: float) -> np.ndarray:
 
 def generate_fixture(root, num_scenes: int = 3, samples_per_scene: int = 4,
                      H: int = 224, W: int = 480, grid: int = 200,
-                     seed: int = 0) -> Path:
-    """Write a synthetic SimBEV tree under ``root`` and return it."""
+                     seed: int = 0,
+                     orientations=("yaw0pitch0",)) -> Path:
+    """Write a synthetic SimBEV tree under ``root`` and return it.
+
+    ``orientations``: rig-orientation directories to emit; a name like
+    "yaw30pitch0" adds a 30-degree yaw offset to every camera mount (the
+    multi-orientation layout the CVT loader's viewpoint-override consumes).
+    """
     root = Path(root)
-    rng = np.random.default_rng(seed)
     fx = fy = 0.5 * W  # ~90deg hfov
     cx, cy = W / 2.0, H / 2.0
     intrin = [[fx, 0.0, cx], [0.0, fy, cy], [0.0, 0.0, 1.0]]
 
+    def _yaw_of(orientation: str) -> float:
+        import re
+        m = re.match(r"yaw(-?\d+)pitch(-?\d+)", orientation)
+        return float(m.group(1)) if m else 0.0
+
     for s in range(num_scenes):
         scene = f"scene_{s:04d}"
-        meta_dir = root / "SimBEV_cvt_label" / scene / "yaw0pitch0"
-        meta_dir.mkdir(parents=True, exist_ok=True)
-        meta = []
+        scene_rng = np.random.default_rng(seed * 1000 + s)
+        # per-sample vehicle layouts shared by all orientations
+        layouts = []
         for k in range(samples_per_scene):
-            token = f"{scene}_{k:06d}"
-            # a few random vehicles: (x, y) ego positions within 40m
-            n_veh = int(rng.integers(1, 4))
-            veh = rng.uniform(-35, 35, size=(n_veh, 2))
-
-            # BEV label. The model's splat grid maps loaded[i, j] to ego
-            # (x = i*cell - 50, y = j*cell - 50); the loader flipuds the
-            # stored rows (SimBEV front-at-row-0 convention), so we store
-            # stored[r, c] = presence at x = (grid-1-r)*cell - 50.
-            bev = np.zeros((8, grid, grid), dtype=np.uint8)
-            cell = 100.0 / grid
-            for (vx, vy) in veh:
-                r = grid - 1 - int((vx + 50.0) / cell)
-                c = int((vy + 50.0) / cell)
-                half = max(1, int(2.0 / cell))  # ~4m boxes
-                cls = int(rng.integers(1, 4))
-                bev[cls, max(0, r - half):r + half, max(0, c - half):c + half] = 1
-            bev_name = f"bev_{token}.npz"
-            np.savez_compressed(meta_dir / bev_name, bev=bev)
-
-            images = []
-            for cam in CAMERA_ORDER:
-                cam_dir = root / "sweeps" / f"RGB-CAM_{cam.upper()}"
-                cam_dir.mkdir(parents=True, exist_ok=True)
-                img = Image.new("RGB", (W, H),
-                                tuple(int(v) for v in rng.integers(40, 90, 3)))
-                draw = ImageDraw.Draw(img)
-                R = _yaw_rot(CAM_DIRS[cam])
-                for (vx, vy) in veh:
-                    p_cam = R.T @ np.array([vx, vy, 0.0])  # ego -> cam
-                    if p_cam[2] < 2.0:
-                        continue
-                    u = fx * p_cam[0] / p_cam[2] + cx
-                    v = fy * p_cam[1] / p_cam[2] + cy
-                    r_px = max(2, int(400.0 / p_cam[2]))
-                    draw.rectangle([u - r_px, v - r_px, u + r_px, v + r_px],
-                                   fill=(200, 30, 30))
-                rel = f"sweeps/RGB-CAM_{cam.upper()}/{token}.jpg"
-                img.save(root / rel, quality=90)
-                images.append(rel)
-
-            # extrinsics stored so that rot/tran are consumed as-is by the
-            # cam->ego composition (SimBEV "ego->cam" storage convention,
-            # reference data_simbev.py:187-192): rot = cam-axes-in-ego.
-            extrinsics = []
-            for cam in CAMERA_ORDER:
-                E = np.eye(4)
-                E[:3, :3] = _yaw_rot(CAM_DIRS[cam])
-                E[:3, 3] = 0.0
-                extrinsics.append(E.tolist())
-
-            meta.append({
-                "token": token,
-                "images": images,
-                "intrinsics": [intrin] * len(CAMERA_ORDER),
-                "extrinsics": extrinsics,
-                "bev": bev_name,
-            })
-        with open(meta_dir / "meta.json", "w") as f:
-            json.dump(meta, f)
+            n_veh = int(scene_rng.integers(1, 4))
+            layouts.append((scene_rng.uniform(-35, 35, size=(n_veh, 2)),
+                            scene_rng.integers(1, 4, size=n_veh)))
+        for orientation in orientations:
+            _emit_orientation(root, scene, orientation, _yaw_of(orientation),
+                              layouts, intrin, fx, fy, cx, cy, W, H, grid)
     return root
+
+
+def _emit_orientation(root, scene, orientation, yaw_offset, layouts, intrin,
+                      fx, fy, cx, cy, W, H, grid):
+    meta_dir = root / "SimBEV_cvt_label" / scene / orientation
+    meta_dir.mkdir(parents=True, exist_ok=True)
+    meta = []
+    for k, (veh, veh_cls) in enumerate(layouts):
+        token = f"{scene}_{k:06d}"
+
+        # BEV label. The model's splat grid maps loaded[i, j] to ego
+        # (x = i*cell - 50, y = j*cell - 50); the loader flipuds the
+        # stored rows (SimBEV front-at-row-0 convention), so we store
+        # stored[r, c] = presence at x = (grid-1-r)*cell - 50.
+        bev = np.zeros((8, grid, grid), dtype=np.uint8)
+        cell = 100.0 / grid
+        for (vx, vy), cls in zip(veh, veh_cls):
+            r = grid - 1 - int((vx + 50.0) / cell)
+            c = int((vy + 50.0) / cell)
+            half = max(1, int(2.0 / cell))  # ~4m boxes
+            bev[int(cls), max(0, r - half):r + half,
+                max(0, c - half):c + half] = 1
+        bev_name = f"bev_{token}.npz"
+        np.savez_compressed(meta_dir / bev_name, bev=bev)
+
+        images = []
+        for cam in CAMERA_ORDER:
+            cam_dir = root / "sweeps" / f"RGB-CAM_{cam.upper()}"
+            cam_dir.mkdir(parents=True, exist_ok=True)
+            img = Image.new("RGB", (W, H), (60, 70, 80))
+            draw = ImageDraw.Draw(img)
+            R = _yaw_rot(CAM_DIRS[cam] + yaw_offset)
+            for (vx, vy) in veh:
+                p_cam = R.T @ np.array([vx, vy, 0.0])  # ego -> cam
+                if p_cam[2] < 2.0:
+                    continue
+                u = fx * p_cam[0] / p_cam[2] + cx
+                v = fy * p_cam[1] / p_cam[2] + cy
+                r_px = max(2, int(400.0 / p_cam[2]))
+                draw.rectangle([u - r_px, v - r_px, u + r_px, v + r_px],
+                               fill=(200, 30, 30))
+            suffix = "" if orientation == "yaw0pitch0" else f"_{orientation}"
+            rel = f"sweeps/RGB-CAM_{cam.upper()}/{token}{suffix}.jpg"
+            img.save(root / rel, quality=90)
+            images.append(rel)
+
+        # extrinsics stored so that rot/tran are consumed as-is by the
+        # cam->ego composition (SimBEV "ego->cam" storage convention,
+        # reference data_simbev.py:187-192): rot = cam-axes-in-ego.
+        extrinsics = []
+        for cam in CAMERA_ORDER:
+            E = np.eye(4)
+            E[:3, :3] = _yaw_rot(CAM_DIRS[cam] + yaw_offset)
+            E[:3, 3] = 0.0
+            extrinsics.append(E.tolist())
+
+        meta.append({
+            "token": token,
+            "images": images,
+            "intrinsics": [intrin] * len(CAMERA_ORDER),
+            "extrinsics": extrinsics,
+            "bev": bev_name,
+        })
+    with open(meta_dir / "meta.json", "w") as f:
+        json.dump(meta, f)

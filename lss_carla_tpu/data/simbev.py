@@ -106,7 +106,12 @@ class SimBEVDataset:
       perturbation of the per-camera extrinsics (robustness augmentation);
     * ``label_mode``: ``"vehicle_binary"`` (reference behavior: classes
       1|2|3 merged) or ``"multiclass"`` with ``label_classes`` giving the
-      channel indices to stack (stretch config: drivable + 3 vehicle types).
+      channel indices to stack (stretch config: drivable + 3 vehicle types);
+    * ``viewpoint_override``: {camera_name: orientation} — per-camera swap
+      of image + intrinsics + extrinsics from another rig orientation of the
+      same sample token (the CVT loader's ``viewchange`` feature,
+      ``scripts/cvt_simbev_dataloader.py:240-247``). Cameras whose token is
+      missing in the override orientation fall back to the base sample.
     """
 
     def __init__(self, dataroot, is_train: bool, data_aug_conf, grid_conf,
@@ -114,6 +119,7 @@ class SimBEVDataset:
                  extrinsic_noise=None,
                  label_mode: str = "vehicle_binary",
                  label_classes=(0, 1, 2, 3),
+                 viewpoint_override=None,
                  use_native: bool = True):
         self.dataroot = Path(dataroot)
         self.is_train = is_train
@@ -126,6 +132,12 @@ class SimBEVDataset:
         self.label_mode = label_mode
         self.label_classes = tuple(label_classes)
         self.samples = scan_samples(dataroot, is_train, orientation)
+        self.viewpoint_override = dict(viewpoint_override or {})
+        self._override_lookup = {}
+        for ov in set(self.viewpoint_override.values()):
+            self._override_lookup[ov] = {
+                s.get("token"): s
+                for s in scan_samples(dataroot, is_train, ov)}
         self.dx, self.bx, self.nx = gen_dx_bx(
             self.grid_conf.xbound, self.grid_conf.ybound, self.grid_conf.zbound)
         self._native = False
@@ -157,9 +169,15 @@ class SimBEVDataset:
                                               self.data_aug_conf.H))
 
         for cam_idx in cam_indices:
-            img_path = self.dataroot / sample["images"][cam_idx]
-            intrin = np.asarray(sample["intrinsics"][cam_idx], dtype=np.float32)
-            extrin = np.asarray(sample["extrinsics"][cam_idx], dtype=np.float32)
+            src = sample
+            cam_name = CAMERA_ORDER[cam_idx]
+            if cam_name in self.viewpoint_override:
+                ov = self.viewpoint_override[cam_name]
+                src = self._override_lookup[ov].get(sample.get("token"),
+                                                    sample)
+            img_path = self.dataroot / src["images"][cam_idx]
+            intrin = np.asarray(src["intrinsics"][cam_idx], dtype=np.float32)
+            extrin = np.asarray(src["extrinsics"][cam_idx], dtype=np.float32)
             rot, tran = extrin[:3, :3], extrin[:3, 3]
             if self.is_train and self.extrinsic_noise is not None:
                 rot, tran = _perturb_extrinsics(rot, tran,
