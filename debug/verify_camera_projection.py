@@ -20,7 +20,6 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from lss_carla_tpu.configs import DataAugConf, GridConf
 from lss_carla_tpu.data.simbev import CAMERA_ORDER, scan_samples
 
 

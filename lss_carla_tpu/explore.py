@@ -32,8 +32,7 @@ from lss_carla_tpu.data.loader import compile_data
 from lss_carla_tpu.models.lss import compile_model
 from lss_carla_tpu.training.loop import get_val_info, ocp_abstract
 from lss_carla_tpu.training.state import create_train_state
-from lss_carla_tpu.training.step import (make_eval_step, make_predict_step,
-                                         make_train_step)
+from lss_carla_tpu.training.step import make_eval_step, make_predict_step
 from lss_carla_tpu.utils.checkpoint import CheckpointManager
 
 

@@ -20,7 +20,7 @@ use B4 (width 1.4, depth 1.8).
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ Parity notes vs the reference (PyTorch):
 
 from __future__ import annotations
 
-from typing import Any, Callable, Tuple
+from typing import Any, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -17,10 +17,7 @@ metrics, and visualizations match the reference bit-for-bit in structure.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from lss_carla_tpu.configs import DataAugConf, GridConf

@@ -115,6 +115,15 @@ def voxel_pooling(geom: jnp.ndarray, feats: jnp.ndarray, dx, bx, nx,
     #   host-presorted gather+cumsum+diff:  16.0 ms fwd (cumsum-bound)
     # XLA's sort-based scatter wins; "pallas" is kept as an alternative and
     # for grids small enough to keep the accumulator resident in VMEM.
+    if method == "pallas":
+        # the Pallas kernel keeps the whole accumulator resident in VMEM;
+        # grids whose accumulator exceeds ~12 MB (v5e VMEM is 16 MB) fall
+        # back to the XLA scatter, which is also faster at that size (see
+        # perf notes above)
+        acc_bytes = (num_slots + 8) * C * jnp.dtype(feats.dtype).itemsize
+        if acc_bytes > 12 * 1024 * 1024:
+            method = "scatter"
+
     if method == "scatter":
         out = jax.vmap(lambda f, i: splat_scatter_add(f, i, num_slots))(pts, flat)
     elif method == "pallas":

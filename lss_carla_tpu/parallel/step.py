@@ -15,14 +15,12 @@ keep global batch divisible by the mesh size, like the reference's
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
-from lss_carla_tpu.parallel.mesh import DATA_AXIS, batch_sharding, replicated
+from lss_carla_tpu.parallel.mesh import DATA_AXIS
 from lss_carla_tpu.training.loss import bce_with_logits, get_batch_iou_counts
 
 

@@ -17,7 +17,6 @@ from typing import Any
 
 import jax
 import optax
-from flax import struct
 from flax.training import train_state as flax_train_state
 
 

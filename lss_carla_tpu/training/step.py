@@ -8,9 +8,6 @@ Single-device versions here; the multi-chip ``shard_map`` versions live in
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -15,7 +15,6 @@ import json
 import os
 from typing import Any, Optional, Tuple
 
-import jax
 import orbax.checkpoint as ocp
 
 

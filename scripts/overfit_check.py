@@ -17,9 +17,6 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-import numpy as np
-
-
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=400)
@@ -33,7 +30,6 @@ def main():
     from lss_carla_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache()
     import jax
-    import jax.numpy as jnp
     from lss_carla_tpu.configs import DataAugConf, GridConf
     from lss_carla_tpu.data.fixtures import generate_fixture
     from lss_carla_tpu.data.loader import DataLoader
