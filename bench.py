@@ -23,7 +23,7 @@ import numpy as np
 BASELINE_STEP_MS = 800.0  # 8 samples x ~100 ms/sample (see module docstring)
 
 
-def build(bsz, splat_method="scatter", dtype="float32"):
+def build(bsz, splat_method="scatter", dtype="float32", remat=False):
     import jax
     from __graft_entry__ import _enable_compile_cache
     _enable_compile_cache()
@@ -34,7 +34,8 @@ def build(bsz, splat_method="scatter", dtype="float32"):
     from lss_carla_tpu.training.step import make_train_step
 
     model = compile_model(GridConf(), DataAugConf(), outC=1,
-                          splat_method=splat_method, compute_dtype=dtype)
+                          splat_method=splat_method, compute_dtype=dtype,
+                          remat=remat)
     rng = np.random.default_rng(0)
     B, N, fH, fW = bsz, 6, 128, 352
     imgs = jnp.asarray(rng.normal(size=(B, N, 3, fH, fW)).astype(np.float32))
@@ -136,6 +137,7 @@ def main():
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--mode", default="step", choices=["step", "input", "infer"])
+    p.add_argument("--remat", action="store_true")
     args = p.parse_args()
 
     if args.mode == "input":
@@ -146,19 +148,33 @@ def main():
         return
 
     import jax
-    step, state, batch = build(args.bsz, args.splat_method, args.dtype)
+    from lss_carla_tpu.training.step import make_train_step
+    _, state, batch = build(args.bsz, args.splat_method, args.dtype,
+                            args.remat)
 
-    for i in range(args.warmup):
-        state, metrics = step(state, batch, jax.random.PRNGKey(i))
-    jax.block_until_ready(metrics["loss"])
+    # chain all iterations inside ONE jitted program: a python dispatch loop
+    # under-measures on async/remote runtimes even with data dependencies
+    raw_step = make_train_step(None, pos_weight=2.13, jit=False)
 
-    t0 = time.perf_counter()
-    for i in range(args.iters):
-        state, metrics = step(state, batch, jax.random.PRNGKey(100 + i))
-    jax.block_until_ready(metrics["loss"])
-    t1 = time.perf_counter()
+    def one(i, st):
+        st2, _ = raw_step(st, batch, jax.random.fold_in(
+            jax.random.PRNGKey(0), i))
+        return st2
 
-    ms = (t1 - t0) / args.iters * 1000.0
+    chained = jax.jit(
+        lambda st: jax.lax.fori_loop(0, args.iters, one, st),
+        donate_argnums=(0,))
+
+    state = chained(state)            # compile + warmup
+    jax.block_until_ready(state.step)
+    times = []
+    for _ in range(3):                # median-of-3: robust to runtime hiccups
+        t0 = time.perf_counter()
+        state = chained(state)
+        jax.block_until_ready(state.step)
+        times.append(time.perf_counter() - t0)
+
+    ms = sorted(times)[1] / args.iters * 1000.0
     suffix = "" if args.dtype == "float32" else f"_{args.dtype}"
     print(json.dumps({
         "metric": f"train_step_ms_bsz{args.bsz}{suffix}",

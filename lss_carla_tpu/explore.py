@@ -37,8 +37,9 @@ from lss_carla_tpu.utils.checkpoint import CheckpointManager
 
 
 def _build(dataroot, bsz=4, nworkers=4, H=224, W=480, final_dim=(128, 352),
-           ncams=6, checkpoint: Optional[str] = None, **model_kw):
-    grid_conf = GridConf()
+           ncams=6, checkpoint: Optional[str] = None,
+           grid_conf: Optional[GridConf] = None, **model_kw):
+    grid_conf = grid_conf or GridConf()
     aug_conf = DataAugConf(H=H, W=W, final_dim=tuple(final_dim), Ncams=ncams)
     trainloader, valloader = compile_data(
         "unused", dataroot, aug_conf, grid_conf, bsz=bsz, nworkers=nworkers)

@@ -36,6 +36,7 @@ class LiftSplatShoot(nn.Module):
     variant: str = "b0"
     splat_method: str = "scatter"
     compute_dtype: str = "float32"  # "bfloat16" for the TPU fast path
+    remat: bool = False  # rematerialize encoders (trade FLOPs for HBM)
 
     def setup(self):
         self.dx, self.bx, self.nx = gen_dx_bx(
@@ -44,9 +45,16 @@ class LiftSplatShoot(nn.Module):
             self.data_aug_conf.final_dim, self.downsample, self.grid_conf.dbound)
         self.D = self.frustum.shape[0]
         dtype = jnp.dtype(self.compute_dtype)
-        self.camencode = CamEncode(self.D, self.camC, self.variant,
-                                   dtype=dtype)
-        self.bevencode = BevEncode(self.outC, dtype=dtype)
+        cam_cls, bev_cls = CamEncode, BevEncode
+        if self.remat:
+            # checkpoint the encoders: activations are recomputed in the
+            # backward pass instead of stored — fixes the f32 memory cliff
+            # at larger batches (bsz 16 f32 spills without this)
+            cam_cls = nn.remat(CamEncode, static_argnums=(2,))
+            bev_cls = nn.remat(BevEncode, static_argnums=(2,))
+        self.camencode = cam_cls(self.D, self.camC, self.variant,
+                                 dtype=dtype)
+        self.bevencode = bev_cls(self.outC, dtype=dtype)
 
     def get_geometry(self, rots, trans, intrins, post_rots, post_trans):
         return get_geometry(jnp.asarray(self.frustum), rots, trans, intrins,

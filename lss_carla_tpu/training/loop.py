@@ -244,6 +244,23 @@ def train(
                 print(f"[{epoch}] step {counter}: "
                       f"loss={float(metrics['loss']):.4f} iou={iou:.4f} "
                       f"step_time={t1 - t0:.3f}s")
+                # train-batch visualization (reference logs one every 100
+                # train iters, train_simbev.py:268-329)
+                if predict_fn is not None and viz_step \
+                        and counter % viz_step == 0:
+                    try:
+                        from lss_carla_tpu.utils.viz import make_bev_figure
+                        logits = predict_fn(state, batch[:6])
+                        pred = np.asarray(jax.nn.sigmoid(logits[0, 0]))
+                        fig = make_bev_figure(
+                            np.asarray(batch[0][0]),
+                            np.asarray(batch[6][0, 0]), pred,
+                            title=f"Training iter {counter} | IoU {iou:.4f}")
+                        logger.figure(counter, "train/visualization", fig)
+                        import matplotlib.pyplot as plt
+                        plt.close(fig)
+                    except Exception as e:
+                        print(f"  train viz failed: {e}")
 
             if val_step and counter % val_step == 0:
                 val_info = get_val_info(eval_fn, state, valloader,
