@@ -82,28 +82,30 @@ class DataLoader:
                 yield _collate([self.dataset[int(i)] for i in idx])
             return
 
-        with ThreadPoolExecutor(self.num_workers) as pool:
-            def load_batch(idx):
-                return _collate(list(pool.map(
-                    lambda i: self.dataset[int(i)], idx)))
+        # one executor; a sliding window of per-sample futures keeps
+        # prefetch_batches batches in flight. The finally (triggered by
+        # normal exhaustion OR generator close) cancels cleanly.
+        executor = ThreadPoolExecutor(self.num_workers)
+        try:
+            window = collections.deque()
+            it = iter(batches)
 
-            # keep a window of batch futures in flight
-            pending = collections.deque()
-            batch_pool = ThreadPoolExecutor(self.prefetch_batches)
-            try:
-                it = iter(batches)
-                for _ in range(self.prefetch_batches):
-                    idx = next(it, None)
-                    if idx is not None:
-                        pending.append(batch_pool.submit(load_batch, idx))
-                while pending:
-                    fut = pending.popleft()
-                    idx = next(it, None)
-                    if idx is not None:
-                        pending.append(batch_pool.submit(load_batch, idx))
-                    yield fut.result()
-            finally:
-                batch_pool.shutdown(wait=False, cancel_futures=True)
+            def submit(idx):
+                return [executor.submit(self.dataset.__getitem__, int(i))
+                        for i in idx]
+
+            for _ in range(self.prefetch_batches):
+                idx = next(it, None)
+                if idx is not None:
+                    window.append(submit(idx))
+            while window:
+                futs = window.popleft()
+                idx = next(it, None)
+                if idx is not None:
+                    window.append(submit(idx))
+                yield _collate([f.result() for f in futs])
+        finally:
+            executor.shutdown(wait=False, cancel_futures=True)
 
 
 def prefetch_to_device(iterator, size: int = 2, device_put=None):
@@ -118,26 +120,49 @@ def prefetch_to_device(iterator, size: int = 2, device_put=None):
 
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
+    stop = threading.Event()
     err = []
 
     def producer():
         try:
             for batch in iterator:
-                q.put(device_put(batch))
+                item = device_put(batch)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # surfaced on the consumer side
             err.append(e)
         finally:
-            q.put(sentinel)
+            try:
+                q.put_nowait(sentinel)
+            except queue.Full:
+                pass
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        # consumer abandoned the iterator: unblock and join the producer so
+        # interpreter teardown never kills a live thread mid-operation
+        stop.set()
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join(timeout=5.0)
 
 
 def compile_data(version, dataroot, data_aug_conf, grid_conf, bsz: int,
