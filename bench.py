@@ -134,7 +134,9 @@ def main():
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--splat_method", default="scatter",
                    choices=["scatter", "pallas"])
-    p.add_argument("--dtype", default="float32",
+    # bf16 is the shipping TPU training configuration (params/BN stats/loss
+    # stay f32); use --dtype float32 for reference-parity timing
+    p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--mode", default="step", choices=["step", "input", "infer"])
     p.add_argument("--remat", action="store_true")

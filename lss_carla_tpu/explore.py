@@ -150,14 +150,19 @@ def splat_check(dataroot=None, bsz=2, **kw):
     return results
 
 
-def lidar_check(dataroot, outdir="./viz_outputs", **kw):
-    """Project each camera's frustum into the BEV plane (geometry sanity)."""
+def lidar_check(dataroot, outdir="./viz_outputs", H=224, W=480,
+                final_dim=(128, 352), **kw):
+    """Project each camera's frustum into the BEV plane (geometry sanity).
+
+    Model-free: only the loader and the frustum geometry are exercised."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    model, state, _, valloader, grid_conf, aug_conf = _build(dataroot, bsz=1,
-                                                             **kw)
+    grid_conf = GridConf()
+    aug_conf = DataAugConf(H=H, W=W, final_dim=tuple(final_dim))
+    _, valloader = compile_data("unused", dataroot, aug_conf, grid_conf,
+                                bsz=1, nworkers=0)
     from lss_carla_tpu.ops.geometry import create_frustum, get_geometry
     batch = next(iter(valloader))
     frustum = jnp.asarray(create_frustum(aug_conf.final_dim, 16,
