@@ -195,13 +195,25 @@ def train(
         eval_fn = make_eval_step(model, pos_weight)
         device_put = jax.device_put
 
-    if profile_dir:
-        jax.profiler.start_trace(profile_dir)
-
     predict_fn = None
     if viz_step:
         from lss_carla_tpu.training.step import make_predict_step
         predict_fn = make_predict_step(model)
+        # Pre-compile NOW (at the runtime batch size and sharding), before
+        # any prefetch thread exists: a first-time compile on the viz path
+        # while the producer thread is mid-transfer deadlocks on runtimes
+        # whose transport is not thread-safe.
+        try:
+            warm = device_put(tuple(
+                np.zeros((bsz,) + a.shape[1:], a.dtype)
+                for a in sample_args))
+            jax.block_until_ready(predict_fn(state, warm))
+        except Exception as e:
+            print(f"viz predict warmup failed ({e}); disabling viz")
+            predict_fn = None
+
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
 
     # Preemption safety (no reference equivalent): on SIGTERM/SIGINT save a
     # resumable checkpoint before exiting. TPU pools preempt with SIGTERM.
