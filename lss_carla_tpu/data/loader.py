@@ -109,7 +109,16 @@ class DataLoader:
 
 
 def prefetch_to_device(iterator, size: int = 2, device_put=None):
-    """Wrap a host batch iterator with an N-deep on-device prefetch queue.
+    """Wrap a host batch iterator with an N-deep prefetch queue; device
+    placement happens on the CONSUMER thread.
+
+    The producer thread does host work only (loader iteration). All jax
+    calls (device_put and, upstream, the step itself) stay on one thread —
+    some transports deadlock when jax is entered from multiple threads
+    concurrently (observed with the remote TPU tunnel: a device_put in a
+    producer racing a compile/transfer on the main thread hangs both).
+    Compute/transfer overlap is preserved by the runtime's async dispatch:
+    device_put returns immediately while the previous step executes.
 
     device_put: callable batch -> device batch (e.g. sharded placement);
     defaults to jax.device_put.
@@ -126,10 +135,9 @@ def prefetch_to_device(iterator, size: int = 2, device_put=None):
     def producer():
         try:
             for batch in iterator:
-                item = device_put(batch)
                 while not stop.is_set():
                     try:
-                        q.put(item, timeout=0.1)
+                        q.put(batch, timeout=0.1)
                         break
                     except queue.Full:
                         continue
@@ -152,7 +160,7 @@ def prefetch_to_device(iterator, size: int = 2, device_put=None):
                 if err:
                     raise err[0]
                 return
-            yield item
+            yield device_put(item)
     finally:
         # consumer abandoned the iterator: unblock and join the producer so
         # interpreter teardown never kills a live thread mid-operation

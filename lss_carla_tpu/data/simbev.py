@@ -120,7 +120,8 @@ class SimBEVDataset:
                  label_mode: str = "vehicle_binary",
                  label_classes=(0, 1, 2, 3),
                  viewpoint_override=None,
-                 use_native: bool = True):
+                 use_native: bool = True,
+                 device_normalize: bool = False):
         self.dataroot = Path(dataroot)
         self.is_train = is_train
         self.data_aug_conf = (data_aug_conf if isinstance(data_aug_conf, DataAugConf)
@@ -131,6 +132,9 @@ class SimBEVDataset:
         self.extrinsic_noise = extrinsic_noise
         self.label_mode = label_mode
         self.label_classes = tuple(label_classes)
+        # device_normalize: emit raw uint8 images (4x smaller host->device
+        # transfer); the model normalizes inside the jitted program
+        self.device_normalize = device_normalize
         self.samples = scan_samples(dataroot, is_train, orientation)
         self.viewpoint_override = dict(viewpoint_override or {})
         self._override_lookup = {}
@@ -187,9 +191,12 @@ class SimBEVDataset:
             if self._native and trivial_pixels and \
                     img_path.suffix.lower() in (".jpg", ".jpeg"):
                 try:
-                    from lss_carla_tpu.native import decode_crop_normalize
-                    img_chw = decode_crop_normalize(img_path.read_bytes(),
-                                                    crop)
+                    from lss_carla_tpu.native import (decode_crop_normalize,
+                                                      decode_crop_u8)
+                    raw = img_path.read_bytes()
+                    img_chw = (decode_crop_u8(raw, crop)
+                               if self.device_normalize
+                               else decode_crop_normalize(raw, crop))
                     post_rot2, post_tran2 = post_homography(
                         resize, crop, flip, rotate)
                 except Exception:
@@ -199,8 +206,9 @@ class SimBEVDataset:
                 img = Image.open(img_path)
                 img, post_rot2, post_tran2 = img_transform(
                     img, resize, resize_dims, crop, flip, rotate)
-                img_chw = normalize_img(
-                    np.asarray(img.convert("RGB"))).transpose(2, 0, 1)
+                rgb = np.asarray(img.convert("RGB"))
+                img_chw = (rgb.transpose(2, 0, 1) if self.device_normalize
+                           else normalize_img(rgb).transpose(2, 0, 1))
 
             post_rot3 = np.eye(3, dtype=np.float32)
             post_tran3 = np.zeros(3, dtype=np.float32)

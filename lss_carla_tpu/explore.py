@@ -101,26 +101,33 @@ def viz_model_preds(dataroot, checkpoint: Optional[str] = None,
 
 def splat_check(dataroot=None, bsz=2, **kw):
     """Forward+backward parity between splat implementations on one batch
-    (the reference cumsum_check contract, ``explore.py:166-191``)."""
+    (the reference cumsum_check contract, ``explore.py:166-191``).
+
+    Without a dataroot, uses a tiny synthetic config (small grid keeps the
+    Pallas accumulator VMEM-resident and both compiles fast)."""
     from lss_carla_tpu.training.loss import bce_with_logits
 
     if dataroot is not None:
         model_s, state, trainloader, *_ = _build(
             dataroot, bsz=bsz, splat_method="scatter", **kw)
         batch = jax.device_put(next(iter(trainloader)))
-    else:  # synthetic batch
+    else:  # tiny synthetic config
         from lss_carla_tpu.models.lss import compile_model as _cm
-        grid_conf, aug_conf = GridConf(), DataAugConf()
+        grid_conf = GridConf(xbound=(-40.0, 40.0, 1.25),
+                             ybound=(-40.0, 40.0, 1.25),
+                             dbound=(4.0, 44.0, 2.0))
+        aug_conf = DataAugConf(H=64, W=128, final_dim=(32, 64))
         model_s = _cm(grid_conf, aug_conf, outC=1, splat_method="scatter")
         rng = np.random.default_rng(0)
         fH, fW = aug_conf.final_dim
+        nxy = int(grid_conf.nx[0])
         imgs = rng.normal(size=(bsz, 6, 3, fH, fW)).astype(np.float32)
         eye = np.tile(np.eye(3, dtype=np.float32), (bsz, 6, 1, 1))
         intr = eye.copy()
-        intr[..., 0, 0] = intr[..., 1, 1] = 200.0
+        intr[..., 0, 0] = intr[..., 1, 1] = 60.0
         intr[..., 0, 2], intr[..., 1, 2] = fW / 2, fH / 2
         zeros3 = np.zeros((bsz, 6, 3), np.float32)
-        binimg = (rng.uniform(size=(bsz, 1, 200, 200)) < 0.03).astype(np.float32)
+        binimg = (rng.uniform(size=(bsz, 1, nxy, nxy)) < 0.03).astype(np.float32)
         batch = tuple(map(jnp.asarray,
                           (imgs, eye, zeros3, intr, eye, zeros3, binimg)))
         state = create_train_state(model_s, jax.random.PRNGKey(0), batch[:6])

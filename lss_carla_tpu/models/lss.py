@@ -61,9 +61,17 @@ class LiftSplatShoot(nn.Module):
                             post_rots, post_trans)
 
     def get_cam_feats(self, x, train: bool):
-        """x: (B, N, 3, H, W) -> (B, N, D, fH, fW, C) lifted features."""
+        """x: (B, N, 3, H, W) -> (B, N, D, fH, fW, C) lifted features.
+
+        Accepts uint8 images (device_normalize loader mode): ImageNet
+        normalization then happens inside this jitted program — 4x less
+        host->device traffic than shipping float32."""
         B, N, C, H, W = x.shape
         x = x.reshape(B * N, C, H, W).transpose(0, 2, 3, 1)  # NHWC
+        if x.dtype == jnp.uint8:
+            from lss_carla_tpu.ops.image import IMAGENET_MEAN, IMAGENET_STD
+            x = (x.astype(jnp.float32) / 255.0
+                 - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
         lifted, depth = self.camencode(x, train)  # (BN, D, fH, fW, camC)
         self.sow("intermediates", "depth_dist", depth)
         D, fH, fW = lifted.shape[1:4]

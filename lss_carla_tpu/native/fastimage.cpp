@@ -93,6 +93,57 @@ int decode_crop_normalize(const unsigned char* data, long len,
   return 0;
 }
 
+// Decode + crop only, uint8 CHW out (3 * out_h * out_w bytes) — for the
+// normalize-on-device path (4x smaller host->device transfer).
+int decode_crop_u8(const unsigned char* data, long len,
+                   int crop_x, int crop_y, int out_w, int out_h,
+                   unsigned char* out) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(data),
+               static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  const int W = cinfo.output_width;
+  const int H = cinfo.output_height;
+  if (crop_x < 0 || crop_y < 0 || crop_x + out_w > W || crop_y + out_h > H ||
+      cinfo.output_components != 3) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  unsigned char* row = new unsigned char[static_cast<size_t>(W) * 3];
+  const long plane = static_cast<long>(out_h) * out_w;
+  if (crop_y > 0) {
+    jpeg_skip_scanlines(&cinfo, crop_y);
+  }
+  for (int y = 0; y < out_h; ++y) {
+    JSAMPROW rowptr = row;
+    jpeg_read_scanlines(&cinfo, &rowptr, 1);
+    const unsigned char* src = row + static_cast<size_t>(crop_x) * 3;
+    unsigned char* r = out + static_cast<long>(y) * out_w;
+    unsigned char* g = r + plane;
+    unsigned char* b = g + plane;
+    for (int x = 0; x < out_w; ++x) {
+      r[x] = src[3 * x + 0];
+      g[x] = src[3 * x + 1];
+      b[x] = src[3 * x + 2];
+    }
+  }
+  delete[] row;
+  jpeg_abort_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
 // Probe the dimensions of a JPEG without full decode.
 int jpeg_dims(const unsigned char* data, long len, int* w, int* h) {
   jpeg_decompress_struct cinfo;

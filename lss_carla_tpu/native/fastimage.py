@@ -61,6 +61,12 @@ def _get_lib() -> Optional[ctypes.CDLL]:
                     ctypes.POINTER(ctypes.c_float),
                     ctypes.POINTER(ctypes.c_float),
                 ]
+                lib.decode_crop_u8.restype = ctypes.c_int
+                lib.decode_crop_u8.argtypes = [
+                    ctypes.c_char_p, ctypes.c_long,
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_ubyte),
+                ]
                 lib.jpeg_dims.restype = ctypes.c_int
                 lib.jpeg_dims.argtypes = [
                     ctypes.c_char_p, ctypes.c_long,
@@ -83,6 +89,23 @@ def jpeg_dims(data: bytes) -> Tuple[int, int]:
     if rc != 0:
         raise ValueError("invalid JPEG")
     return w.value, h.value
+
+
+def decode_crop_u8(data: bytes, crop: Tuple[int, int, int, int]) -> np.ndarray:
+    """JPEG bytes + crop box -> uint8 CHW array (3, b-t, r-l) — the
+    normalize-on-device path (4x smaller host->device transfer)."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("fastimage unavailable")
+    left, top, right, bottom = crop
+    out_w, out_h = right - left, bottom - top
+    out = np.empty((3, out_h, out_w), dtype=np.uint8)
+    rc = lib.decode_crop_u8(
+        data, len(data), left, top, out_w, out_h,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+    if rc != 0:
+        raise ValueError(f"decode_crop_u8 failed (rc={rc})")
+    return out
 
 
 def decode_crop_normalize(data: bytes, crop: Tuple[int, int, int, int]

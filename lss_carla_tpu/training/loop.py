@@ -98,6 +98,7 @@ def train(
     label_mode: str = "vehicle_binary",  # "multiclass" for the stretch config
     label_classes=(0, 1, 2, 3),
     extrinsic_noise=None,              # (rot_deg_std, trans_m_std) or None
+    device_normalize: bool = True,     # ship uint8 images, normalize in-jit
     max_steps: Optional[int] = None,   # early stop for smoke/bench runs
     profile_dir: Optional[str] = None,  # jax.profiler trace output
 ):
@@ -146,7 +147,8 @@ def train(
         drop_to_multiple_of=n_devices if use_mesh else None,
         dataset_kwargs={"label_mode": label_mode,
                         "label_classes": tuple(label_classes),
-                        "extrinsic_noise": extrinsic_noise})
+                        "extrinsic_noise": extrinsic_noise,
+                        "device_normalize": device_normalize})
     print(f"Train batches: {len(trainloader)}  Val batches: {len(valloader)}")
 
     model = compile_model(grid_conf, data_aug_conf, outC=outC,
@@ -156,8 +158,9 @@ def train(
     rng = jax.random.PRNGKey(seed)
     init_rng, rng = jax.random.split(rng)
     fH, fW = data_aug_conf.final_dim
+    img_dtype = jnp.uint8 if device_normalize else jnp.float32
     sample_args = (
-        jnp.zeros((1, ncams, 3, fH, fW)),
+        jnp.zeros((1, ncams, 3, fH, fW), img_dtype),
         jnp.tile(jnp.eye(3), (1, ncams, 1, 1)),
         jnp.zeros((1, ncams, 3)),
         jnp.tile(jnp.eye(3), (1, ncams, 1, 1)),

@@ -56,6 +56,9 @@ def main():
     parser.add_argument('--extrinsic_noise', type=float, nargs=2,
                         default=None, metavar=('ROT_DEG_STD', 'TRANS_M_STD'),
                         help='train-time extrinsic perturbation')
+    parser.add_argument('--host_normalize', action='store_true',
+                        help='normalize images on the host (reference '
+                             'behavior) instead of in the jitted program')
     parser.add_argument('--variant', type=str, default='b0',
                         choices=['b0', 'b1', 'b2', 'b3', 'b4'])
     parser.add_argument('--max_steps', type=int, default=None)
@@ -89,6 +92,7 @@ def main():
         label_classes=tuple(args.label_classes),
         extrinsic_noise=(tuple(args.extrinsic_noise)
                          if args.extrinsic_noise else None),
+        device_normalize=not args.host_normalize,
         variant=args.variant,
         max_steps=args.max_steps,
         profile_dir=args.profile_dir,
