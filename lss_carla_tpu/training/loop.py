@@ -240,6 +240,9 @@ def train(
         it = prefetch_to_device(iter(trainloader), size=2,
                                 device_put=device_put)
         for batch in it:
+            if counter == 0:
+                print("first batch on device; compiling the train step "
+                      "(first compile can take minutes)...", flush=True)
             t0 = time.time()
             step_rng = jax.random.fold_in(rng, counter)
             state, metrics = train_fn(state, batch, step_rng)
