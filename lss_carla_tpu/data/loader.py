@@ -146,10 +146,14 @@ def prefetch_to_device(iterator, size: int = 2, device_put=None):
         except BaseException as e:  # surfaced on the consumer side
             err.append(e)
         finally:
-            try:
-                q.put_nowait(sentinel)
-            except queue.Full:
-                pass
+            # the sentinel MUST reach the consumer (a dropped sentinel
+            # deadlocks it at epoch end); block with the stop-flag loop
+            while not stop.is_set():
+                try:
+                    q.put(sentinel, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()

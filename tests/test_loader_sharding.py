@@ -59,3 +59,20 @@ def test_single_shard_default_unchanged():
     dl = DataLoader(ds, batch_size=3, shuffle=False, num_workers=0,
                     drop_last=True)
     assert _all_indices(dl) == list(range(9))
+
+
+def test_prefetch_multi_epoch_slow_consumer():
+    """Epoch-end sentinel must arrive even when the queue is full
+    (regression: a dropped sentinel deadlocked training at epoch ends)."""
+    import time
+    from lss_carla_tpu.data.loader import prefetch_to_device
+
+    ds = _FakeDataset(8)
+    dl = DataLoader(ds, batch_size=2, num_workers=2, prefetch_batches=2)
+    for _ in range(3):
+        n = 0
+        for _batch in prefetch_to_device(iter(dl), size=2,
+                                         device_put=lambda b: b):
+            time.sleep(0.02)  # slow consumer -> queue full at epoch end
+            n += 1
+        assert n == 4
