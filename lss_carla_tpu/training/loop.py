@@ -330,7 +330,12 @@ def train(
     if profile_dir:
         jax.profiler.stop_trace()
 
-    ckpt.save(counter, state, nepochs)
+    if not preempted["flag"]:
+        # normal completion: final save records epoch=nepochs (reference
+        # train_simbev.py:446-453 semantics). A preemption save was already
+        # written with the TRUE epoch — overwriting it here would make the
+        # resumed run think training finished.
+        ckpt.save(counter, state, nepochs)
     ckpt.close()
     logger.close()
     print(f"Best validation IoU: {best_val_iou:.4f}")

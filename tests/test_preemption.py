@@ -1,0 +1,43 @@
+"""Preemption handling: SIGTERM during training must write a resumable
+checkpoint with the TRUE epoch (not nepochs) and exit cleanly."""
+
+import os
+import signal
+import threading
+
+import pytest
+
+from lss_carla_tpu.data.fixtures import generate_fixture
+from lss_carla_tpu.training.loop import train
+
+
+GRID_64 = dict(xbound=(-50.0, 50.0, 1.5625), ybound=(-50.0, 50.0, 1.5625),
+               dbound=(4.0, 45.0, 8.0))
+
+
+def test_sigterm_checkpoints_and_resumes(tmp_path):
+    root = generate_fixture(tmp_path / "data", num_scenes=3,
+                            samples_per_scene=4, H=64, W=128, grid=64)
+    logdir = str(tmp_path / "run")
+    kw = dict(dataroot=root, nepochs=500, bsz=2, nworkers=0,
+              H=64, W=128, final_dim=(32, 64), **GRID_64,
+              val_step=0, save_step=0, viz_step=0,
+              logdir=logdir, n_devices=1)
+
+    # fire SIGTERM once training is underway (flag is checked after each
+    # completed step, so firing during compile is fine too)
+    timer = threading.Timer(15.0, lambda: os.kill(os.getpid(),
+                                                  signal.SIGTERM))
+    timer.start()
+    try:
+        r = train(**kw)
+    finally:
+        timer.cancel()
+    assert r["counter"] > 0
+    # the run was preempted well before 500 epochs x 6 batches
+    assert r["counter"] < 500 * 6
+
+    # resume must pick up from the true epoch and continue
+    r2 = train(**kw, resume=os.path.join(logdir, "ckpts"),
+               max_steps=r["counter"] + 3)
+    assert r2["counter"] == r["counter"] + 3
