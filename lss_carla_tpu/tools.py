@@ -17,7 +17,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from lss_carla_tpu.data.augment import img_transform  # noqa: F401
+from lss_carla_tpu.data.augment import (  # noqa: F401
+    img_transform as _img_transform_new, post_homography)
 from lss_carla_tpu.ops.geometry import (  # noqa: F401
     cam_to_ego, ego_to_cam, gen_dx_bx, get_only_in_img_mask, get_rot)
 from lss_carla_tpu.ops.image import (  # noqa: F401
@@ -30,6 +31,17 @@ from lss_carla_tpu.training.loop import get_val_info  # noqa: F401
 # the splat op is the reference's QuickCumsum replacement
 cumsum_trick = splat_scatter_add
 quick_cumsum = splat_scatter_add
+
+
+def img_transform(img, post_rot, post_tran, resize, resize_dims, crop,
+                  flip, rotate):
+    """Reference-signature wrapper (tools.py:120-144): composes the
+    augmentation homography onto incoming (post_rot, post_tran)."""
+    img, A, b = _img_transform_new(img, resize, resize_dims, crop, flip,
+                                   rotate)
+    post_rot = np.asarray(A) @ np.asarray(post_rot)
+    post_tran = np.asarray(A) @ np.asarray(post_tran) + np.asarray(b)
+    return img, post_rot, post_tran
 
 
 def add_ego(bx, dx):

@@ -28,20 +28,30 @@ class CheckpointManager:
                 max_to_keep=max_to_keep, create=True,
                 best_fn=None, enable_async_checkpointing=False),
         )
+        # best-by-val-IoU checkpoints live in their own manager so the
+        # periodic rotation (max_to_keep) can never garbage-collect them
+        # (reference keeps model_best.pt forever, train_simbev.py:417-430)
+        self._best_mgr = ocp.CheckpointManager(
+            os.path.join(self.directory, "best"),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=1, create=True,
+                enable_async_checkpointing=False),
+        )
         self._best_path = os.path.join(self.directory, "best.json")
 
     # --- save ---
 
     def save(self, step: int, state, epoch: int,
-             val_iou: Optional[float] = None, tag: Optional[str] = None):
+             val_iou: Optional[float] = None, mgr=None):
+        mgr = mgr or self._mgr
         meta = {"counter": int(step), "epoch": int(epoch)}
         if val_iou is not None:
             meta["val_iou"] = float(val_iou)
-        if int(step) in self._mgr.all_steps():
+        if int(step) in mgr.all_steps():
             # idempotent re-save at the same counter (periodic + final/best
             # can coincide): replace the existing checkpoint
-            self._mgr.delete(int(step))
-        self._mgr.save(
+            mgr.delete(int(step))
+        mgr.save(
             int(step),
             args=ocp.args.Composite(
                 state=ocp.args.StandardSave(state),
@@ -49,13 +59,13 @@ class CheckpointManager:
             ),
             force=True,
         )
-        self._mgr.wait_until_finished()
-        if tag == "best":
-            with open(self._best_path, "w") as f:
-                json.dump(meta, f)
+        mgr.wait_until_finished()
 
     def save_best(self, step: int, state, epoch: int, val_iou: float):
-        self.save(step, state, epoch, val_iou, tag="best")
+        self.save(step, state, epoch, val_iou, mgr=self._best_mgr)
+        with open(self._best_path, "w") as f:
+            json.dump({"counter": int(step), "epoch": int(epoch),
+                       "val_iou": float(val_iou)}, f)
 
     # --- restore ---
 
@@ -68,15 +78,20 @@ class CheckpointManager:
                 return int(json.load(f)["counter"])
         return None
 
-    def restore(self, abstract_state, step: Optional[int] = None
-                ) -> Tuple[Any, dict]:
+    def restore(self, abstract_state, step: Optional[int] = None,
+                best: bool = False) -> Tuple[Any, dict]:
         """Restore (state, meta). ``abstract_state``: a target TrainState (or
-        jax.eval_shape of one) defining the tree structure."""
+        jax.eval_shape of one) defining the tree structure. ``best=True``
+        restores the best-by-val-IoU checkpoint."""
+        mgr = self._best_mgr if best else self._mgr
         if step is None:
-            step = self.latest_step()
+            step = mgr.latest_step()
         if step is None:
+            if not best and self._best_mgr.latest_step() is not None:
+                # only a best checkpoint exists (e.g. val-only runs)
+                return self.restore(abstract_state, best=True)
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
-        restored = self._mgr.restore(
+        restored = mgr.restore(
             int(step),
             args=ocp.args.Composite(
                 state=ocp.args.StandardRestore(abstract_state),
@@ -87,3 +102,4 @@ class CheckpointManager:
 
     def close(self):
         self._mgr.close()
+        self._best_mgr.close()

@@ -1,0 +1,52 @@
+"""Best-checkpoint preservation: periodic rotation must never GC the best
+checkpoint; restore(best=True) returns it."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lss_carla_tpu.utils.checkpoint import CheckpointManager
+
+
+def _state(v: float):
+    return {"w": jnp.full((4,), v), "b": jnp.asarray(v)}
+
+
+def _abstract():
+    return {"w": jax.ShapeDtypeStruct((4,), jnp.float32),
+            "b": jax.ShapeDtypeStruct((), jnp.float32)}
+
+
+def test_best_survives_rotation(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "ck"), max_to_keep=2)
+    mgr.save_best(1, _state(1.0), epoch=0, val_iou=0.5)  # best at step 1
+    for step in range(2, 8):
+        mgr.save(step, _state(float(step)), epoch=0)
+    # periodic manager rotated away early steps...
+    assert 2 not in mgr._mgr.all_steps()
+    # ...but the best checkpoint is intact
+    state, meta = mgr.restore(_abstract(), best=True)
+    assert meta["counter"] == 1
+    assert float(state["b"]) == 1.0
+    np.testing.assert_allclose(np.asarray(state["w"]), 1.0)
+    assert mgr.best_step() == 1
+    # latest restore still works
+    state2, meta2 = mgr.restore(_abstract())
+    assert meta2["counter"] == 7
+    mgr.close()
+
+
+def test_restore_falls_back_to_best_when_only_best_exists(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "ck2"))
+    mgr.save_best(5, _state(5.0), epoch=1, val_iou=0.4)
+    state, meta = mgr.restore(_abstract())
+    assert meta["counter"] == 5
+    mgr.close()
+
+
+def test_restore_empty_raises(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "ck3"))
+    with pytest.raises(FileNotFoundError):
+        mgr.restore(_abstract())
+    mgr.close()
