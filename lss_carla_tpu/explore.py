@@ -37,7 +37,7 @@ from lss_carla_tpu.utils.checkpoint import CheckpointManager
 
 
 def _build(dataroot, bsz=4, nworkers=4, H=224, W=480, final_dim=(128, 352),
-           ncams=6, checkpoint: Optional[str] = None,
+           ncams=6, checkpoint: Optional[str] = None, best: bool = False,
            grid_conf: Optional[GridConf] = None, **model_kw):
     grid_conf = grid_conf or GridConf()
     aug_conf = DataAugConf(H=H, W=W, final_dim=tuple(final_dim), Ncams=ncams)
@@ -57,8 +57,9 @@ def _build(dataroot, bsz=4, nworkers=4, H=224, W=480, final_dim=(128, 352),
     if checkpoint:
         mgr = CheckpointManager(checkpoint)
         abstract = jax.tree_util.tree_map(ocp_abstract, state)
-        state, meta = mgr.restore(abstract)
-        print(f"restored checkpoint step={meta.get('counter')}")
+        state, meta = mgr.restore(abstract, best=best)
+        print(f"restored checkpoint step={meta.get('counter')}"
+              + (" (best)" if best else ""))
     return model, state, trainloader, valloader, grid_conf, aug_conf
 
 
@@ -201,6 +202,8 @@ if __name__ == "__main__":
         sp = sub.add_parser(name)
         sp.add_argument("--dataroot", default=None)
         sp.add_argument("--checkpoint", default=None)
+        sp.add_argument("--best", action="store_true",
+                        help="restore the best-by-val-IoU checkpoint")
         sp.add_argument("--bsz", type=int, default=2)
     a = p.parse_args()
     kwargs = {}
@@ -208,4 +211,7 @@ if __name__ == "__main__":
         kwargs["dataroot"] = a.dataroot
     if a.checkpoint is not None:
         kwargs["checkpoint"] = a.checkpoint
+        kwargs["best"] = a.best
+    if a.cmd in ("splat_check", "lidar_check"):
+        kwargs.pop("best", None)
     globals()[a.cmd](bsz=a.bsz, **kwargs)
