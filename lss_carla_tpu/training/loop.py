@@ -99,6 +99,8 @@ def train(
     label_classes=(0, 1, 2, 3),
     extrinsic_noise=None,              # (rot_deg_std, trans_m_std) or None
     device_normalize: bool = True,     # ship uint8 images, normalize in-jit
+    dataset: str = "simbev",           # "simbev" | "nuscenes"
+    nuscenes_version: str = "v1.0-mini",
     max_steps: Optional[int] = None,   # early stop for smoke/bench runs
     profile_dir: Optional[str] = None,  # jax.profiler trace output
 ):
@@ -141,14 +143,22 @@ def train(
 
     if label_mode == "multiclass":
         outC = len(label_classes)
-    trainloader, valloader = compile_data(
-        "unused", dataroot, data_aug_conf, grid_conf, bsz=bsz,
-        nworkers=nworkers, parser_name="segmentationdata",
-        drop_to_multiple_of=n_devices if use_mesh else None,
-        dataset_kwargs={"label_mode": label_mode,
-                        "label_classes": tuple(label_classes),
-                        "extrinsic_noise": extrinsic_noise,
-                        "device_normalize": device_normalize})
+    if dataset == "nuscenes":
+        from lss_carla_tpu.data.nuscenes import compile_data_nuscenes
+        trainloader, valloader = compile_data_nuscenes(
+            nuscenes_version, dataroot, data_aug_conf, grid_conf, bsz=bsz,
+            nworkers=nworkers,
+            drop_to_multiple_of=n_devices if use_mesh else None)
+        device_normalize = False  # nuScenes loader emits normalized floats
+    else:
+        trainloader, valloader = compile_data(
+            "unused", dataroot, data_aug_conf, grid_conf, bsz=bsz,
+            nworkers=nworkers, parser_name="segmentationdata",
+            drop_to_multiple_of=n_devices if use_mesh else None,
+            dataset_kwargs={"label_mode": label_mode,
+                            "label_classes": tuple(label_classes),
+                            "extrinsic_noise": extrinsic_noise,
+                            "device_normalize": device_normalize})
     print(f"Train batches: {len(trainloader)}  Val batches: {len(valloader)}")
 
     model = compile_model(grid_conf, data_aug_conf, outC=outC,

@@ -1,14 +1,15 @@
-"""Original-LSS nuScenes-style training config on TPU.
+"""Original-LSS nuScenes training on TPU.
 
 The reference keeps the upstream nuScenes entry points as dead code (broken
-imports, SURVEY §2.14-2.15); what *is* preserved there is the config:
-H=900 W=1600, resize_lim=(0.193, 0.225), bot_pct_lim=(0.0, 0.22),
-rot_lim=(-5.4, 5.4), rand_flip=True, ncams=5, bsz=16
-(reference ``src/train.py:23-43``). This script runs that augmented config
-through the TPU trainer against SimBEV-format data (matching BASELINE.json
-config "scripts/train_nuscenes.py grid").
+imports + devkit dependency, SURVEY §2.14-2.15). This script actually runs:
+the exact original config — H=900 W=1600, resize_lim=(0.193, 0.225),
+bot_pct_lim=(0.0, 0.22), rot_lim=(-5.4, 5.4), rand_flip=True, ncams=5
+(reference ``src/train.py:23-43``) — on real nuScenes v1.0 tables via the
+devkit-free loader (``lss_carla_tpu.data.nuscenes``), or on SimBEV-format
+data with ``--simbev_data`` (BASELINE.json config 4).
 
-    python scripts/train_nuscenes.py --dataroot /data/SimBEV_900p
+    python scripts/train_nuscenes.py --dataroot /data/nuscenes
+    python scripts/train_nuscenes.py --dataroot /data/SimBEV --simbev_data
 """
 
 import argparse
@@ -31,6 +32,10 @@ def main():
     p.add_argument("--weight_decay", type=float, default=1e-7)
     p.add_argument("--n_devices", type=int, default=None)
     p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--version", default="v1.0-mini",
+                   help="nuScenes table version directory")
+    p.add_argument("--simbev_data", action="store_true",
+                   help="run the nuScenes config against SimBEV-format data")
     args = p.parse_args()
 
     train(
@@ -50,6 +55,8 @@ def main():
         logdir=args.logdir,
         n_devices=args.n_devices,
         max_steps=args.max_steps,
+        dataset="simbev" if args.simbev_data else "nuscenes",
+        nuscenes_version=args.version,
     )
 
 
