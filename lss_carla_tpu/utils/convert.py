@@ -162,6 +162,30 @@ def torch_state_dict_to_variables(state_dict) -> dict:
     return {"params": params, "batch_stats": batch_stats}
 
 
+def variables_to_torch_state_dict(variables: dict) -> dict:
+    """Inverse converter: flax {"params", "batch_stats"} -> reference torch
+    state_dict (numpy tensors, reference naming/layouts). Round-trips with
+    ``torch_state_dict_to_variables`` — lets users export checkpoints back
+    to the PyTorch reference."""
+    name_map = build_name_map()
+
+    def get(tree, path):
+        node = tree
+        for k in path:
+            node = node[k]
+        return node
+
+    out = {}
+    for torch_name, (path, tf, collection) in name_map.items():
+        tree = variables["params"] if collection == "params" \
+            else variables["batch_stats"]
+        arr = np.asarray(get(tree, path))
+        if tf is not None:  # both conv transforms are (2,3,1,0) transposes
+            arr = np.transpose(arr, (3, 2, 0, 1))
+        out[torch_name] = arr
+    return out
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Load a reference .pt checkpoint -> flax variables (+meta)."""
     import torch

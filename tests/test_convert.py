@@ -93,3 +93,23 @@ def test_skip_list_ignores_buffers():
           "bevencode.bn1.num_batches_tracked": np.zeros(())}
     out = torch_state_dict_to_variables(sd)
     assert out["params"] == {} and out["batch_stats"] == {}
+
+
+def test_inverse_converter_roundtrip(model_vars):
+    """flax -> torch state_dict -> flax must be the identity."""
+    from lss_carla_tpu.utils.convert import variables_to_torch_state_dict
+    sd = variables_to_torch_state_dict(
+        jax.tree_util.tree_map(np.asarray, model_vars))
+    back = torch_state_dict_to_variables(sd)
+    flat_orig = _flatten(jax.tree_util.tree_map(np.asarray,
+                                                model_vars["params"]))
+    flat_back = _flatten(back["params"])
+    assert set(flat_orig) == set(flat_back)
+    for path in flat_orig:
+        np.testing.assert_array_equal(flat_back[path], flat_orig[path], path)
+    flat_os = _flatten(jax.tree_util.tree_map(np.asarray,
+                                              model_vars["batch_stats"]))
+    flat_bs = _flatten(back["batch_stats"])
+    assert set(flat_os) == set(flat_bs)
+    for path in flat_os:
+        np.testing.assert_array_equal(flat_bs[path], flat_os[path], path)
