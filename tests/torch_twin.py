@@ -198,3 +198,55 @@ def randomize_bn_stats(model, rng):
                 m.running_var.copy_(torch.from_numpy(
                     rng.uniform(0.5, 1.5, m.running_var.shape)
                     .astype(np.float32)))
+
+
+def torch_full_lss_forward(twin, grid_conf, frustum, x, rots, trans,
+                           intrins, post_rots, post_trans):
+    """Full LSS forward in torch (published algorithm, written fresh):
+    geometry -> camencode lift -> sort+cumsum voxel pooling -> bevencode.
+
+    frustum: (D, fH, fW, 3) numpy. x: (B, N, 3, H, W) torch. Returns
+    (B, outC, X, Y) numpy.
+    """
+    import torch as T
+    dx = T.tensor(grid_conf.dx)
+    bx = T.tensor(grid_conf.bx)
+    nx = [int(v) for v in grid_conf.nx]
+    B, N = x.shape[:2]
+    fr = T.from_numpy(np.ascontiguousarray(frustum)).float()
+
+    # geometry: undo augmentation, unproject, cam->ego
+    pts = fr[None, None] - post_trans.view(B, N, 1, 1, 1, 3)
+    pts = T.inverse(post_rots).view(B, N, 1, 1, 1, 3, 3) @ pts.unsqueeze(-1)
+    pts = T.cat([pts[..., :2, :] * pts[..., 2:3, :], pts[..., 2:3, :]], dim=-2)
+    combine = rots @ T.inverse(intrins)
+    pts = (combine.view(B, N, 1, 1, 1, 3, 3) @ pts).squeeze(-1)
+    pts = pts + trans.view(B, N, 1, 1, 1, 3)
+
+    # camencode lift: (B*N, C, D, fh, fw) -> (B, N, D, fh, fw, C)
+    D = fr.shape[0]
+    imgs = x.view(B * N, *x.shape[2:])
+    feats = twin.camencode(imgs)
+    C = feats.shape[1]
+    fh, fw = feats.shape[3], feats.shape[4]
+    feats = feats.view(B, N, C, D, fh, fw).permute(0, 1, 3, 4, 5, 2)
+
+    # voxel pooling: quantize, drop OOB, sum per voxel (cumsum trick
+    # semantics == plain index_add over kept points)
+    Nprime = B * N * D * fh * fw
+    flat_feats = feats.reshape(Nprime, C)
+    geom = ((pts - (bx - dx / 2.0)) / dx).long().view(Nprime, 3)
+    batch_ix = T.arange(B).repeat_interleave(Nprime // B).unsqueeze(1)
+    kept = ((geom[:, 0] >= 0) & (geom[:, 0] < nx[0])
+            & (geom[:, 1] >= 0) & (geom[:, 1] < nx[1])
+            & (geom[:, 2] >= 0) & (geom[:, 2] < nx[2]))
+    geom_k = geom[kept]
+    bix = batch_ix[kept, 0]
+    f_k = flat_feats[kept]
+    final = T.zeros((B, nx[2], nx[0], nx[1], C))
+    lin = ((bix * nx[2] + geom_k[:, 2]) * nx[0] + geom_k[:, 0]) * nx[1] \
+        + geom_k[:, 1]
+    final.view(-1, C).index_add_(0, lin, f_k)
+    # collapse Z (z-major channel concat), to NCHW
+    bev = final.permute(0, 1, 4, 2, 3).reshape(B, nx[2] * C, nx[0], nx[1])
+    return twin.bevencode(bev).detach().numpy()
