@@ -1,0 +1,137 @@
+"""Multi-HOST training dry run: N processes x M local CPU devices.
+
+Validates the DCN-scale design end-to-end without TPU pods: every process
+initializes ``jax.distributed``, loads ITS shard of the global batch
+(``DataLoader(shard_index=process_id)`` semantics), assembles global arrays
+with ``jax.make_array_from_process_local_data``, and executes the shard_map
+train step over the GLOBAL mesh — gradient psum crosses process boundaries.
+
+Self-orchestrating: run with no arguments to spawn the workers.
+
+    python scripts/multihost_dryrun.py                 # 2 procs x 4 devices
+    python scripts/multihost_dryrun.py --procs 2 --local_devices 4
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def worker(process_id: int, num_processes: int, local_devices: int,
+           port: int):
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={local_devices}")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=num_processes, process_id=process_id)
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from lss_carla_tpu.configs import DataAugConf, GridConf
+    from lss_carla_tpu.models.lss import compile_model
+    from lss_carla_tpu.parallel.mesh import DATA_AXIS
+    from lss_carla_tpu.parallel.step import make_sharded_train_step
+    from lss_carla_tpu.training.state import create_train_state
+
+    n_global = jax.device_count()
+    mesh = Mesh(np.asarray(jax.devices()), (DATA_AXIS,))
+    rep = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(DATA_AXIS))
+
+    grid_conf = GridConf(xbound=(-40.0, 40.0, 5.0), ybound=(-40.0, 40.0, 5.0),
+                         zbound=(-10.0, 10.0, 20.0), dbound=(4.0, 36.0, 8.0))
+    aug_conf = DataAugConf(H=64, W=128, final_dim=(32, 64))
+    model = compile_model(grid_conf, aug_conf, outC=1)
+
+    B_global, N = n_global, 6
+    B_local = B_global // num_processes
+    rng = np.random.default_rng(1000 + process_id)  # per-host data
+
+    def local_batch():
+        imgs = rng.normal(size=(B_local, N, 3, 32, 64)).astype(np.float32)
+        eye = np.tile(np.eye(3, dtype=np.float32), (B_local, N, 1, 1))
+        intr = eye.copy()
+        intr[..., 0, 0] = intr[..., 1, 1] = 60.0
+        intr[..., 0, 2], intr[..., 1, 2] = 32.0, 16.0
+        z3 = np.zeros((B_local, N, 3), np.float32)
+        binimg = (rng.uniform(size=(B_local, 1, 16, 16)) < 0.1
+                  ).astype(np.float32)
+        return (imgs, eye, z3, intr, eye, z3, binimg)
+
+    # identical init on every host (same seed) -> replicated global state
+    sample = tuple(jnp.zeros_like(jnp.asarray(a[:1]))
+                   for a in local_batch()[:6])
+    state = create_train_state(model, jax.random.PRNGKey(0), sample)
+    state = jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            rep, np.asarray(x)), state)
+
+    step = make_sharded_train_step(model, mesh, pos_weight=2.13)
+    for i in range(2):
+        batch = jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(shard, x),
+            local_batch())
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        loss = float(metrics["loss"])
+        print(f"[proc {process_id}] step {i}: global devices={n_global} "
+              f"loss={loss:.4f}", flush=True)
+        assert np.isfinite(loss)
+
+    # replicated state must agree across processes: print a param checksum
+    leaf = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    print(f"[proc {process_id}] param checksum {float(np.sum(leaf)):.6f}",
+          flush=True)
+    jax.distributed.shutdown()
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--procs", type=int, default=2)
+    p.add_argument("--local_devices", type=int, default=4)
+    p.add_argument("--port", type=int, default=9921)
+    p.add_argument("--process_id", type=int, default=None)  # internal
+    args = p.parse_args()
+
+    if args.process_id is not None:
+        worker(args.process_id, args.procs, args.local_devices, args.port)
+        return
+
+    procs = []
+    for i in range(args.procs):
+        procs.append(subprocess.Popen(
+            [sys.executable, __file__, "--procs", str(args.procs),
+             "--local_devices", str(args.local_devices),
+             "--port", str(args.port), "--process_id", str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    outputs, failed = [], False
+    for i, pr in enumerate(procs):
+        out, _ = pr.communicate(timeout=900)
+        outputs.append(out.decode())
+        failed |= pr.returncode != 0
+    for o in outputs:
+        print(o[-1200:])
+    if failed:
+        print("MULTIHOST DRYRUN FAILED")
+        sys.exit(1)
+    # losses and checksums must match across processes (replicated math)
+    import re
+    sums = set()
+    for o in outputs:
+        m = re.findall(r"param checksum (-?\d+\.\d+)", o)
+        sums.update(m)
+    assert len(sums) == 1, f"state diverged across hosts: {sums}"
+    print(f"MULTIHOST DRYRUN OK: {args.procs} processes x "
+          f"{args.local_devices} devices, state consistent")
+
+
+if __name__ == "__main__":
+    main()
