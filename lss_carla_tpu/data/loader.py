@@ -33,15 +33,31 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, num_workers: int = 4,
                  seed: int = 13, prefetch_batches: int = 2,
-                 shard_index: int = 0, num_shards: int = 1):
+                 shard_index: int = 0, num_shards: int = 1,
+                 pad_last: bool = False):
         """``shard_index``/``num_shards``: multi-host input sharding — each
         host iterates the same global shuffle but loads only its slice of
         every batch (pass ``jax.process_index()``/``jax.process_count()``).
-        ``batch_size`` is the PER-HOST batch size."""
+        ``batch_size`` is the PER-HOST batch size.
+
+        ``drop_last`` truncates the GLOBAL order to a multiple of
+        ``num_shards * batch_size`` before sharding, so every host yields
+        exactly the same batch count per epoch (hosts disagreeing on batch
+        count deadlocks the first collective of the surplus step).
+
+        ``pad_last`` (mutually exclusive with ``drop_last``) instead pads
+        the global order to that multiple with wrap-around duplicate indices
+        and appends an (B,) float32 validity mask as an 8th batch element —
+        every batch has a static shape (one XLA compile) and masked eval
+        counts each real sample exactly once.
+        """
+        if drop_last and pad_last:
+            raise ValueError("drop_last and pad_last are mutually exclusive")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.pad_last = pad_last
         self.num_workers = max(0, num_workers)
         self.prefetch_batches = max(1, prefetch_batches)
         self.shard_index = shard_index
@@ -50,10 +66,12 @@ class DataLoader:
         self._seed = seed
 
     def __len__(self):
+        """Per-host batch count (identical on every host)."""
         n = len(self.dataset)
+        chunk = self.batch_size * self.num_shards
         if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+            return n // chunk
+        return (n + chunk - 1) // chunk
 
     def _batch_indices(self):
         n = len(self.dataset)
@@ -63,23 +81,37 @@ class DataLoader:
             # takes its interleaved slice
             rng = np.random.default_rng(self._seed + self._epoch)
             rng.shuffle(order)
+        valid = np.ones(n, bool)
+        chunk = self.batch_size * self.num_shards
+        if self.drop_last:
+            keep = (n // chunk) * chunk
+            order, valid = order[:keep], valid[:keep]
+        elif self.pad_last and n % chunk != 0:
+            # pad to the chunk multiple so every host sees equal, full
+            # batches; wrap-around duplicates are marked invalid and excluded
+            # from scoring via the emitted mask
+            padded = ((n + chunk - 1) // chunk) * chunk
+            order = np.resize(order, padded)
+            valid = np.concatenate([valid, np.zeros(padded - n, bool)])
         if self.num_shards > 1:
             order = order[self.shard_index::self.num_shards]
-            n = len(order)
-        batches = []
-        for start in range(0, n, self.batch_size):
-            idx = order[start:start + self.batch_size]
-            if len(idx) < self.batch_size and self.drop_last:
-                continue
-            batches.append(idx)
-        return batches
+            valid = valid[self.shard_index::self.num_shards]
+        return [(order[s:s + self.batch_size], valid[s:s + self.batch_size])
+                for s in range(0, len(order), self.batch_size)]
+
+    def _assemble(self, samples, valid):
+        batch = _collate(samples)
+        if self.pad_last:
+            return batch + (valid.astype(np.float32),)
+        return batch
 
     def __iter__(self) -> Iterator:
         batches = self._batch_indices()
         self._epoch += 1
         if self.num_workers == 0:
-            for idx in batches:
-                yield _collate([self.dataset[int(i)] for i in idx])
+            for idx, valid in batches:
+                yield self._assemble([self.dataset[int(i)] for i in idx],
+                                     valid)
             return
 
         # one executor; a sliding window of per-sample futures keeps
@@ -90,20 +122,21 @@ class DataLoader:
             window = collections.deque()
             it = iter(batches)
 
-            def submit(idx):
+            def submit(batch):
+                idx, valid = batch
                 return [executor.submit(self.dataset.__getitem__, int(i))
-                        for i in idx]
+                        for i in idx], valid
 
             for _ in range(self.prefetch_batches):
-                idx = next(it, None)
-                if idx is not None:
-                    window.append(submit(idx))
+                b = next(it, None)
+                if b is not None:
+                    window.append(submit(b))
             while window:
-                futs = window.popleft()
-                idx = next(it, None)
-                if idx is not None:
-                    window.append(submit(idx))
-                yield _collate([f.result() for f in futs])
+                futs, valid = window.popleft()
+                b = next(it, None)
+                if b is not None:
+                    window.append(submit(b))
+                yield self._assemble([f.result() for f in futs], valid)
         finally:
             executor.shutdown(wait=False, cancel_futures=True)
 
@@ -184,8 +217,13 @@ def compile_data(version, dataroot, data_aug_conf, grid_conf, bsz: int,
     """Reference-parity loader factory (``data_simbev.py:315-354``).
 
     Returns (trainloader, valloader). ``version`` is unused (API compat).
-    ``drop_to_multiple_of``: if set, the val loader also drops remainder
-    batches so every batch is shardable over a device mesh.
+    The val loader always pads its final batch to a static full shape with a
+    validity mask (``pad_last``) — every batch is shardable over a device
+    mesh, there is exactly one eval-compile shape, and the whole val set is
+    scored exactly once (the reference's ``get_val_info`` evaluates the
+    entire set, ``src/tools.py:243-270``).
+    ``drop_to_multiple_of`` is kept for API compatibility but no longer
+    drops anything (pad-and-mask supersedes it).
     ``dataset_kwargs``: extra SimBEVDataset options (orientation,
     extrinsic_noise, label_mode, label_classes).
     """
@@ -201,6 +239,5 @@ def compile_data(version, dataroot, data_aug_conf, grid_conf, bsz: int,
     trainloader = DataLoader(traindata, batch_size=bsz, shuffle=True,
                              drop_last=True, num_workers=nworkers)
     valloader = DataLoader(valdata, batch_size=bsz, shuffle=False,
-                           drop_last=drop_to_multiple_of is not None,
-                           num_workers=nworkers)
+                           pad_last=True, num_workers=nworkers)
     return trainloader, valloader

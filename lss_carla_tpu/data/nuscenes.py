@@ -229,6 +229,5 @@ def compile_data_nuscenes(version, dataroot, data_aug_conf, grid_conf,
     trainloader = DataLoader(train_ds, batch_size=bsz, shuffle=True,
                              drop_last=True, num_workers=nworkers)
     valloader = DataLoader(val_ds, batch_size=bsz, shuffle=False,
-                           drop_last=drop_to_multiple_of is not None,
-                           num_workers=nworkers)
+                           pad_last=True, num_workers=nworkers)
     return trainloader, valloader

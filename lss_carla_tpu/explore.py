@@ -89,6 +89,8 @@ def viz_model_preds(dataroot, checkpoint: Optional[str] = None,
         logits = predict(state, batch[:6])
         preds = np.asarray(jax.nn.sigmoid(logits))
         for si in range(preds.shape[0]):
+            if len(batch) > 7 and float(batch[7][si]) == 0.0:
+                continue  # pad_last wrap-around duplicate, not a real sample
             fig = make_bev_figure(np.asarray(batch[0][si]),
                                   np.asarray(batch[6][si, 0]),
                                   preds[si, 0])

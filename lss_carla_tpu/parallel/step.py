@@ -21,7 +21,9 @@ from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from lss_carla_tpu.parallel.mesh import DATA_AXIS
-from lss_carla_tpu.training.loss import bce_with_logits, get_batch_iou_counts
+from lss_carla_tpu.training.loss import (bce_with_logits,
+                                         get_batch_iou_counts,
+                                         masked_eval_metrics)
 
 
 def make_sharded_train_step(model, mesh, pos_weight: float = 2.13):
@@ -70,29 +72,31 @@ def make_sharded_train_step(model, mesh, pos_weight: float = 2.13):
 
 
 def make_sharded_eval_step(model, mesh, pos_weight: float = 2.13):
-    """Sharded eval: returns global {loss_sum, intersect, union, batch}."""
+    """Sharded eval: returns global {loss_sum, intersect, union, batch}.
+
+    ``batch`` is the 7-tuple, optionally extended with an 8th (B,) validity
+    mask (the val loader's ``pad_last`` mode) — padded samples are excluded
+    from every accumulator, so the sharded val pass covers the whole set
+    exactly once (reference ``tools.py:243-270`` evaluates the entire set).
+    The batch spec is a pytree prefix, so both tuple arities shard on the
+    leading axis."""
 
     batch_spec = P(DATA_AXIS)
     rep = P()
 
     def step(state, batch):
-        imgs, rots, trans, intrins, post_rots, post_trans, binimgs = batch
+        imgs, rots, trans, intrins, post_rots, post_trans, binimgs = batch[:7]
+        valid = batch[7] if len(batch) > 7 else \
+            jnp.ones((imgs.shape[0],), jnp.float32)
         logits = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             imgs, rots, trans, intrins, post_rots, post_trans, train=False)
-        loss = bce_with_logits(logits, binimgs, pos_weight)
-        intersect, union = get_batch_iou_counts(logits, binimgs)
-        return {
-            "loss_sum": jax.lax.psum(loss * imgs.shape[0], DATA_AXIS),
-            "intersect": jax.lax.psum(intersect, DATA_AXIS),
-            "union": jax.lax.psum(union, DATA_AXIS),
-            "batch": jax.lax.psum(
-                jnp.asarray(imgs.shape[0], jnp.float32), DATA_AXIS),
-        }
+        m = masked_eval_metrics(logits, binimgs, valid, pos_weight)
+        return {k: jax.lax.psum(v, DATA_AXIS) for k, v in m.items()}
 
     sharded = shard_map(
         step, mesh=mesh,
-        in_specs=(rep, tuple([batch_spec] * 7)),
+        in_specs=(rep, batch_spec),
         out_specs=rep,
         check_vma=False)
     return jax.jit(sharded)

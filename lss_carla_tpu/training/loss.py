@@ -41,6 +41,37 @@ def get_batch_iou_counts(logits: jnp.ndarray, targets: jnp.ndarray):
     return intersect, union
 
 
+def masked_eval_metrics(logits: jnp.ndarray, targets: jnp.ndarray,
+                        valid: jnp.ndarray, pos_weight: float) -> dict:
+    """Per-batch eval accumulators with padded samples masked out.
+
+    The val loader pads its last batch to a static shape (``pad_last``);
+    ``valid`` is (B,) with 1.0 for real samples, 0.0 for padding. Returns
+    {loss_sum, intersect, union, batch} where loss_sum is the sum of
+    per-sample mean BCE (= reference ``loss.item() * batch_size`` semantics,
+    ``src/tools.py:259``) and the IoU counts include only valid samples —
+    the whole val set counts exactly once (reference ``tools.py:243-270``
+    evaluates the entire set).
+    """
+    logits = logits.astype(jnp.float32)
+    targets = targets.astype(jnp.float32)
+    valid = valid.astype(jnp.float32)
+    B = logits.shape[0]
+    elem = (pos_weight * targets * jax.nn.softplus(-logits)
+            + (1.0 - targets) * jax.nn.softplus(logits))
+    per_sample_loss = jnp.mean(elem.reshape(B, -1), axis=1)
+    pred = (logits > 0).reshape(B, -1)
+    tgt = targets.astype(bool).reshape(B, -1)
+    per_sample_i = jnp.sum(pred & tgt, axis=1).astype(jnp.float32)
+    per_sample_u = jnp.sum(pred | tgt, axis=1).astype(jnp.float32)
+    return {
+        "loss_sum": jnp.sum(per_sample_loss * valid),
+        "intersect": jnp.sum(per_sample_i * valid),
+        "union": jnp.sum(per_sample_u * valid),
+        "batch": jnp.sum(valid),
+    }
+
+
 def get_batch_iou(logits, targets):
     """Host-facing variant returning (intersect, union, iou) floats with the
     reference's union==0 -> iou=1.0 convention."""

@@ -11,7 +11,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from lss_carla_tpu.training.loss import bce_with_logits, get_batch_iou_counts
+from lss_carla_tpu.training.loss import (bce_with_logits,
+                                         get_batch_iou_counts,
+                                         masked_eval_metrics)
 
 
 def make_train_step(model, pos_weight: float = 2.13, jit: bool = True):
@@ -48,18 +50,20 @@ def make_train_step(model, pos_weight: float = 2.13, jit: bool = True):
 def make_eval_step(model, pos_weight: float = 2.13, jit: bool = True):
     """Returns eval_step(state, batch) -> metrics for ``get_val_info``-style
     accumulation: {loss_sum (=loss*B, reference tools.py:259), intersect,
-    union, batch}."""
+    union, batch}.
+
+    ``batch`` is the 7-tuple, optionally extended with an 8th (B,) validity
+    mask (the val loader's ``pad_last`` mode pads its final batch to a
+    static shape); padded samples are excluded from every accumulator."""
 
     def eval_step(state, batch):
-        imgs, rots, trans, intrins, post_rots, post_trans, binimgs = batch
+        imgs, rots, trans, intrins, post_rots, post_trans, binimgs = batch[:7]
+        valid = batch[7] if len(batch) > 7 else \
+            jnp.ones((imgs.shape[0],), jnp.float32)
         logits = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             imgs, rots, trans, intrins, post_rots, post_trans, train=False)
-        loss = bce_with_logits(logits, binimgs, pos_weight)
-        intersect, union = get_batch_iou_counts(logits, binimgs)
-        return {"loss_sum": loss * imgs.shape[0],
-                "intersect": intersect, "union": union,
-                "batch": jnp.asarray(imgs.shape[0], jnp.float32)}
+        return masked_eval_metrics(logits, binimgs, valid, pos_weight)
 
     if jit:
         eval_step = jax.jit(eval_step)

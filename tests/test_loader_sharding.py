@@ -61,6 +61,74 @@ def test_single_shard_default_unchanged():
     assert _all_indices(dl) == list(range(9))
 
 
+def test_drop_last_equal_batch_counts_across_hosts():
+    """len(dataset) not divisible by shards*bsz: every host must still yield
+    the SAME batch count (a disagreement deadlocks the first collective of
+    the surplus step on a real pod)."""
+    for n in (30, 31, 33, 37):
+        ds = _FakeDataset(n)
+        loaders = [DataLoader(ds, batch_size=4, shuffle=True, num_workers=0,
+                              shard_index=i, num_shards=2, seed=5,
+                              drop_last=True)
+                   for i in range(2)]
+        counts = [sum(1 for _ in dl) for dl in loaders]
+        assert counts[0] == counts[1] == len(loaders[0]) == n // 8
+        # and hosts still partition disjointly
+        seen = [set(_all_indices(DataLoader(
+            ds, batch_size=4, shuffle=True, num_workers=0, shard_index=i,
+            num_shards=2, seed=5, drop_last=True))) for i in range(2)]
+        assert seen[0].isdisjoint(seen[1])
+
+
+def test_pad_last_masks_exact_coverage():
+    """pad_last pads the final batch to a static shape and emits a mask;
+    valid positions cover the dataset exactly once, pads are marked 0."""
+    ds = _FakeDataset(10)
+    dl = DataLoader(ds, batch_size=4, shuffle=False, num_workers=0,
+                    pad_last=True)
+    seen = []
+    for batch in dl:
+        assert len(batch) == 2  # sample tuple (1 array) + mask
+        arr, mask = batch
+        assert arr.shape[0] == 4 and mask.shape == (4,)
+        seen.extend(int(i) for i, m in zip(arr[:, 0], mask) if m > 0)
+    assert sorted(seen) == list(range(10))
+    assert len(dl) == 3
+
+
+def test_pad_last_sharded_equal_and_exact():
+    """pad_last + shards: equal full batches per host; union of valid
+    positions over hosts is the exact dataset."""
+    ds = _FakeDataset(13)
+    all_valid = []
+    counts = []
+    for i in range(2):
+        dl = DataLoader(ds, batch_size=4, shuffle=False, num_workers=0,
+                        shard_index=i, num_shards=2, pad_last=True)
+        c = 0
+        for batch in dl:
+            arr, mask = batch
+            assert arr.shape[0] == 4
+            all_valid.extend(int(v) for v, m in zip(arr[:, 0], mask) if m > 0)
+            c += 1
+        counts.append(c)
+    assert counts[0] == counts[1] == 2  # ceil(13/8) = 2 per host
+    assert sorted(all_valid) == list(range(13))
+
+
+def test_pad_last_tiny_dataset_wraps():
+    """Dataset smaller than one global batch: wrap-around padding still
+    produces one full batch with the right mask."""
+    ds = _FakeDataset(3)
+    dl = DataLoader(ds, batch_size=8, shuffle=False, num_workers=0,
+                    pad_last=True)
+    batches = list(dl)
+    assert len(batches) == 1
+    arr, mask = batches[0]
+    assert arr.shape[0] == 8
+    assert mask.tolist() == [1, 1, 1, 0, 0, 0, 0, 0]
+
+
 def test_prefetch_multi_epoch_slow_consumer():
     """Epoch-end sentinel must arrive even when the queue is full
     (regression: a dropped sentinel deadlocked training at epoch ends)."""
