@@ -82,12 +82,17 @@ def train(
     val_step: int = 500,
     save_step: int = 1000,
     resume: Optional[str] = None,
+    # pretrained EfficientNet trunk (reference src/models.py:43 downloads
+    # ImageNet weights; here: path to an efficientnet_pytorch .pth, a
+    # reference LSS .pt, an Orbax ckpt dir, or "auto" for the hub cache)
+    pretrained_trunk: Optional[str] = None,
     # observability
     use_wandb: bool = False,
     wandb_project: str = "lift-splat-shoot",
     wandb_name: Optional[str] = None,
     wandb_entity: Optional[str] = None,
     viz_step: int = 100,
+    iou_log_step: int = 100,  # train-IoU/step-time cadence (reference: 100)
     # TPU-native extras (no reference equivalent)
     n_devices: Optional[int] = None,   # data-parallel chips (None = all)
     seed: int = 42,
@@ -184,6 +189,19 @@ def train(
                    jax.tree_util.tree_leaves(state.params))
     print(f"Number of trainable parameters: {n_params:,}")
 
+    if pretrained_trunk is not None:
+        # applied before (and overridden by) --resume, like the reference:
+        # from_pretrained at model build, checkpoint load afterwards
+        from lss_carla_tpu.utils.convert import (merge_trunk_variables,
+                                                 trunk_variables_from_checkpoint)
+        trunk = trunk_variables_from_checkpoint(pretrained_trunk, variant)
+        merged = merge_trunk_variables(
+            {"params": jax.device_get(state.params),
+             "batch_stats": jax.device_get(state.batch_stats)}, trunk)
+        state = state.replace(params=merged["params"],
+                              batch_stats=merged["batch_stats"])
+        print(f"Loaded pretrained trunk from {pretrained_trunk}")
+
     ckpt = CheckpointManager(os.path.join(logdir, "ckpts"))
     counter, start_epoch, best_val_iou = 0, 0, 0.0
     if resume is not None:
@@ -209,17 +227,25 @@ def train(
         device_put = jax.device_put
 
     predict_fn = None
+    viz_val_batch = None  # fetched once, mesh-placed once, reused forever
     if viz_step:
         from lss_carla_tpu.training.step import make_predict_step
         predict_fn = make_predict_step(model)
         # Pre-compile NOW (at the runtime batch size and sharding), before
         # any prefetch thread exists: a first-time compile on the viz path
         # while the producer thread is mid-transfer deadlocks on runtimes
-        # whose transport is not thread-safe.
+        # whose transport is not thread-safe. Warm with the REAL val viz
+        # batch placed via the mesh-aware device_put — the val loader pads
+        # every batch to a static full shape, so this is exactly the
+        # shape+sharding the validation viz will replay (no mid-run
+        # recompile, and no per-validation prefetch pipeline for one batch).
         try:
-            warm = device_put(tuple(
-                np.zeros((bsz,) + a.shape[1:], a.dtype)
-                for a in sample_args))
+            for vb in iter(valloader):
+                viz_val_batch = device_put(vb[:7])
+                break
+            warm = viz_val_batch[:6] if viz_val_batch is not None else \
+                device_put(tuple(np.zeros((bsz,) + a.shape[1:], a.dtype)
+                                 for a in sample_args))
             jax.block_until_ready(predict_fn(state, warm))
         except Exception as e:
             print(f"viz predict warmup failed ({e}); disabling viz")
@@ -262,7 +288,7 @@ def train(
             if counter % 10 == 0:
                 logger.scalars(counter, **{
                     "train/loss": float(metrics["loss"])})
-            if counter % 100 == 0:
+            if counter % iou_log_step == 0:
                 union = float(metrics["union"])
                 iou = float(metrics["intersect"]) / union if union > 0 else 1.0
                 logger.scalars(counter, **{
@@ -297,11 +323,10 @@ def train(
                                            "val/iou": val_info["iou"]})
                 print(f"  validation: loss={val_info['loss']:.4f} "
                       f"iou={val_info['iou']:.4f}")
-                if predict_fn is not None:
+                if predict_fn is not None and viz_val_batch is not None:
                     try:
                         from lss_carla_tpu.utils.viz import make_bev_figure
-                        vb = next(iter(valloader))
-                        vb = jax.device_put(vb)
+                        vb = viz_val_batch  # cached, already mesh-placed
                         logits = predict_fn(state, vb[:6])
                         pred = np.asarray(jax.nn.sigmoid(logits[0, 0]))
                         fig = make_bev_figure(

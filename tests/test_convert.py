@@ -95,6 +95,124 @@ def test_skip_list_ignores_buffers():
     assert out["params"] == {} and out["batch_stats"] == {}
 
 
+# --- ImageNet-pretrained trunk import (reference src/models.py:43) ---
+
+def _trunk_vars(variant="b0"):
+    from lss_carla_tpu.models.efficientnet import EfficientNetTrunk
+    import jax.numpy as jnp
+    trunk = EfficientNetTrunk(variant)
+    init = jax.jit(lambda r: trunk.init({"params": r},
+                                        jnp.zeros((1, 32, 64, 3)),
+                                        train=False))
+    return jax.tree_util.tree_map(np.asarray,
+                                  init(jax.random.PRNGKey(1)))
+
+
+def _synthetic_imagenet_sd(trunk_vars, variant="b0", seed=0, head=True):
+    """An efficientnet_pytorch-named ImageNet state_dict with torch-layout
+    shapes (random values), plus the classifier head the converter must
+    skip."""
+    from lss_carla_tpu.utils.convert import build_trunk_name_map
+    name_map = build_trunk_name_map(variant)
+    flat = {"params": _flatten(trunk_vars["params"]),
+            "batch_stats": _flatten(trunk_vars["batch_stats"])}
+    rng = np.random.default_rng(seed)
+    sd = {}
+    for torch_name, (path, tf, col) in name_map.items():
+        shape = flat[col][path].shape
+        if tf is not None:
+            shape = (shape[3], shape[2], shape[0], shape[1])
+        sd[torch_name] = rng.normal(size=shape).astype(np.float32)
+    if head:
+        sd["_conv_head.weight"] = np.zeros((1280, 320, 1, 1), np.float32)
+        for k in ("weight", "bias", "running_mean", "running_var"):
+            sd[f"_bn1.{k}"] = np.zeros(1280, np.float32)
+        sd["_bn1.num_batches_tracked"] = np.zeros((), np.int64)
+        sd["_fc.weight"] = np.zeros((1000, 1280), np.float32)
+        sd["_fc.bias"] = np.zeros(1000, np.float32)
+    return sd
+
+
+def test_imagenet_trunk_full_coverage_and_head_skipped():
+    from lss_carla_tpu.utils.convert import (
+        imagenet_state_dict_to_trunk_variables)
+    tv = _trunk_vars()
+    sd = _synthetic_imagenet_sd(tv)
+    got = imagenet_state_dict_to_trunk_variables(sd)
+    for col in ("params", "batch_stats"):
+        flat_want = _flatten(tv[col])
+        flat_got = _flatten(got[col])
+        assert set(flat_got) == set(flat_want)
+        for path in flat_want:
+            assert flat_got[path].shape == flat_want[path].shape, path
+    # value spot-check incl. layout transform: stem conv
+    np.testing.assert_array_equal(
+        got["params"]["conv_stem"]["kernel"],
+        np.transpose(sd["_conv_stem.weight"], (2, 3, 1, 0)))
+
+
+def test_trunk_from_torch_file_and_merge(model_vars, tmp_path):
+    import torch
+    from lss_carla_tpu.utils.convert import (merge_trunk_variables,
+                                             trunk_variables_from_checkpoint)
+    tv = _trunk_vars()
+    sd = _synthetic_imagenet_sd(tv, seed=7)
+    path = tmp_path / "efficientnet-b0-imagenet.pth"
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, path)
+
+    trunk = trunk_variables_from_checkpoint(str(path))
+    merged = merge_trunk_variables(
+        jax.tree_util.tree_map(np.asarray, dict(model_vars)), trunk)
+
+    # trunk leaves replaced...
+    np.testing.assert_array_equal(
+        merged["params"]["camencode"]["trunk"]["conv_stem"]["kernel"],
+        np.transpose(sd["_conv_stem.weight"], (2, 3, 1, 0)))
+    # ...everything else untouched
+    np.testing.assert_array_equal(
+        merged["params"]["bevencode"]["conv1"]["kernel"],
+        np.asarray(model_vars["params"]["bevencode"]["conv1"]["kernel"]))
+    np.testing.assert_array_equal(
+        merged["params"]["camencode"]["depthnet"]["kernel"],
+        np.asarray(model_vars["params"]["camencode"]["depthnet"]["kernel"]))
+
+
+def test_trunk_from_reference_lss_checkpoint(model_vars, tmp_path):
+    """A full reference LSS .pt also works as a trunk source (keys carry the
+    camencode.trunk. prefix)."""
+    import torch
+    from lss_carla_tpu.utils.convert import (trunk_variables_from_checkpoint,
+                                             variables_to_torch_state_dict)
+    sd = variables_to_torch_state_dict(
+        jax.tree_util.tree_map(np.asarray, dict(model_vars)))
+    path = tmp_path / "model_best.pt"
+    torch.save({"model_state_dict":
+                {k: torch.from_numpy(np.ascontiguousarray(v))
+                 for k, v in sd.items()},
+                "counter": 3, "epoch": 1}, path)
+    trunk = trunk_variables_from_checkpoint(str(path))
+    np.testing.assert_array_equal(
+        trunk["params"]["conv_stem"]["kernel"],
+        np.asarray(
+            model_vars["params"]["camencode"]["trunk"]["conv_stem"]["kernel"]))
+
+
+def test_merge_trunk_shape_mismatch_raises(model_vars):
+    from lss_carla_tpu.utils.convert import merge_trunk_variables
+    tv = _trunk_vars()
+    bad = jax.tree_util.tree_map(np.asarray, tv)
+    bad["params"]["conv_stem"]["kernel"] = np.zeros((3, 3, 3, 64), np.float32)
+    with pytest.raises(ValueError):
+        merge_trunk_variables(
+            jax.tree_util.tree_map(np.asarray, dict(model_vars)), bad)
+
+
+def test_trunk_auto_missing_raises():
+    from lss_carla_tpu.utils.convert import trunk_variables_from_checkpoint
+    with pytest.raises(FileNotFoundError):
+        trunk_variables_from_checkpoint("auto")
+
+
 def test_inverse_converter_roundtrip(model_vars):
     """flax -> torch state_dict -> flax must be the identity."""
     from lss_carla_tpu.utils.convert import variables_to_torch_state_dict

@@ -35,6 +35,12 @@ def main():
     parser.add_argument('--val_step', type=int, default=500)
     parser.add_argument('--save_step', type=int, default=1000)
     parser.add_argument('--resume', type=str, default=None)
+    parser.add_argument('--pretrained_trunk', type=str, default=None,
+                        help='ImageNet-pretrained EfficientNet trunk: path '
+                             'to an efficientnet_pytorch .pth, a reference '
+                             'LSS .pt, an Orbax ckpt dir, or "auto" to '
+                             'search the torch hub cache (the reference '
+                             'downloads these at src/models.py:43)')
 
     parser.add_argument('--use_wandb', action='store_true', default=False)
     parser.add_argument('--wandb_project', type=str, default='lift-splat-shoot')
@@ -45,7 +51,7 @@ def main():
     parser.add_argument('--n_devices', type=int, default=None,
                         help='number of chips for data parallelism (default all)')
     parser.add_argument('--splat_method', type=str, default='scatter',
-                        choices=['scatter', 'pallas'])
+                        choices=['scatter', 'sorted', 'pallas'])
     parser.add_argument('--compute_dtype', type=str, default='float32',
                         choices=['float32', 'bfloat16'])
     parser.add_argument('--label_mode', type=str, default='vehicle_binary',
@@ -81,6 +87,7 @@ def main():
         val_step=args.val_step,
         save_step=args.save_step,
         resume=args.resume,
+        pretrained_trunk=args.pretrained_trunk,
         use_wandb=args.use_wandb,
         wandb_project=args.wandb_project,
         wandb_name=args.wandb_name,
