@@ -86,6 +86,40 @@ def _scatter_bwd(num_slots, ids, g):
 splat_scatter_add.defvjp(_scatter_fwd, _scatter_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def splat_sorted_scatter_add(feats: jnp.ndarray, ids: jnp.ndarray,
+                             num_slots: int):
+    """Sort-then-scatter variant of ``splat_scatter_add`` (same contract).
+
+    Motivation (BEVPoolv2-inspired; docs/ROADMAP.md item 1): XLA's direct
+    scatter-add sorts (key, 64-channel payload) pairs, moving the 41 MB
+    payload through every sort pass. Here the sort sees only (key, index)
+    pairs (8 B/point), the payload moves ONCE through a single row gather,
+    and the scatter is marked ``indices_are_sorted`` so XLA can emit the
+    streaming sorted-update path. Out-of-grid sentinel ids sort to the end
+    and drop as one contiguous tail.
+
+    Backward is identical to ``splat_scatter_add`` (gather of the output
+    cotangent by UNSORTED ids — the sum per voxel is order-invariant).
+    """
+    return _sorted_fwd_impl(feats, ids, num_slots)
+
+
+def _sorted_fwd_impl(feats, ids, num_slots):
+    order = jnp.argsort(ids)                       # key-only sort (8 B/pt)
+    ids_s = jnp.take(ids, order)
+    feats_s = jnp.take(feats, order, axis=0)       # payload moves once
+    out = jnp.zeros((num_slots, feats.shape[-1]), feats.dtype)
+    return out.at[ids_s].add(feats_s, mode="drop", indices_are_sorted=True)
+
+
+def _sorted_fwd(feats, ids, num_slots):
+    return _sorted_fwd_impl(feats, ids, num_slots), ids
+
+
+splat_sorted_scatter_add.defvjp(_sorted_fwd, _scatter_bwd)
+
+
 def voxel_pooling(geom: jnp.ndarray, feats: jnp.ndarray, dx, bx, nx,
                   method: str = "scatter") -> jnp.ndarray:
     """Splat lifted camera features onto the BEV grid.
@@ -126,6 +160,9 @@ def voxel_pooling(geom: jnp.ndarray, feats: jnp.ndarray, dx, bx, nx,
 
     if method == "scatter":
         out = jax.vmap(lambda f, i: splat_scatter_add(f, i, num_slots))(pts, flat)
+    elif method == "sorted":
+        out = jax.vmap(
+            lambda f, i: splat_sorted_scatter_add(f, i, num_slots))(pts, flat)
     elif method == "pallas":
         from lss_carla_tpu.ops.splat_pallas import splat_pallas_batched
         # compiled Mosaic kernel on TPU backends; interpreter elsewhere (CPU

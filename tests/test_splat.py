@@ -95,6 +95,41 @@ def test_scatter_add_custom_vjp_matches_autodiff(rng):
     assert np.all(np.asarray(g1)[oob] == 0)
 
 
+def test_sorted_scatter_matches_scatter_fwd_and_bwd(rng):
+    """The sort-then-scatter variant is bit-compatible in contract with the
+    direct scatter: same forward sums, same custom-VJP gradient (incl. OOB
+    drop semantics via the sorted sentinel tail)."""
+    P, C, num_slots = 257, 5, 33
+    ids = rng.integers(0, num_slots + 3, size=P).astype(np.int32)  # some OOB
+    feats = rng.normal(size=(P, C)).astype(np.float32)
+    cot = rng.normal(size=(num_slots, C)).astype(np.float32)
+
+    f_j, i_j = jnp.asarray(feats), jnp.asarray(ids)
+    np.testing.assert_allclose(
+        np.asarray(S.splat_sorted_scatter_add(f_j, i_j, num_slots)),
+        np.asarray(S.splat_scatter_add(f_j, i_j, num_slots)),
+        rtol=1e-5, atol=1e-5)
+
+    g1 = jax.grad(lambda f: jnp.sum(
+        S.splat_sorted_scatter_add(f, i_j, num_slots) * cot))(f_j)
+    g2 = jax.grad(lambda f: jnp.sum(
+        S.splat_scatter_add(f, i_j, num_slots) * cot))(f_j)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_voxel_pooling_method_sorted_matches_scatter(rng):
+    dx, bx, nx = _small_grid()
+    B, N, D, fH, fW, C = 2, 2, 3, 2, 4, 6
+    geom = jnp.asarray(rng.uniform(-6, 6, size=(B, N, D, fH, fW, 3))
+                       .astype(np.float32))
+    feats = jnp.asarray(rng.normal(size=(B, N, D, fH, fW, C))
+                        .astype(np.float32))
+    a = np.asarray(S.voxel_pooling(geom, feats, dx, bx, nx, method="scatter"))
+    b = np.asarray(S.voxel_pooling(geom, feats, dx, bx, nx, method="sorted"))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
 def test_voxel_pooling_grad_flows_through_geometry_free_path(rng):
     """End-to-end grad: d(sum(bev))/d(feats) == multiplicity of in-grid points."""
     dx, bx, nx = _small_grid()
