@@ -2,9 +2,13 @@
 flagship SimBEV config — 6 cams x 128x352, EfficientNet-B0, D=41, 200x200 BEV
 grid — at batch size 8 on one chip.
 
-Prints ONE JSON line:
+The default (``--mode all``) prints THREE JSON lines, one per metric —
+f32 train step (the reference-parity dtype), bf16 inference ms/sample, and
+the headline bf16 train step LAST:
     {"metric": "train_step_ms_bsz8", "value": <ms>, "unit": "ms",
      "vs_baseline": <baseline_ms / ms>}
+    {"metric": "inference_ms_per_sample_bsz8", ...}
+    {"metric": "train_step_ms_bsz8_bfloat16", ...}
 
 Baseline: the reference documents ~100 ms/sample single-GPU *inference*
 (reference docs/README_SIMBEV.md:186) and no training-step number; we use
@@ -127,32 +131,11 @@ def bench_infer(bsz, iters, dtype):
     }))
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--bsz", type=int, default=8)
-    p.add_argument("--iters", type=int, default=20)
-    p.add_argument("--warmup", type=int, default=3)
-    p.add_argument("--splat_method", default="scatter",
-                   choices=["scatter", "pallas"])
-    # bf16 is the shipping TPU training configuration (params/BN stats/loss
-    # stay f32); use --dtype float32 for reference-parity timing
-    p.add_argument("--dtype", default="bfloat16",
-                   choices=["float32", "bfloat16"])
-    p.add_argument("--mode", default="step", choices=["step", "input", "infer"])
-    p.add_argument("--remat", action="store_true")
-    args = p.parse_args()
-
-    if args.mode == "input":
-        bench_input(args.bsz, max(1, args.iters // 5))
-        return
-    if args.mode == "infer":
-        bench_infer(args.bsz, args.iters, args.dtype)
-        return
-
+def bench_step(bsz, iters, splat_method, dtype, remat=False):
+    """Chained-in-jit train-step timing; prints its JSON line."""
     import jax
     from lss_carla_tpu.training.step import make_train_step
-    _, state, batch = build(args.bsz, args.splat_method, args.dtype,
-                            args.remat)
+    _, state, batch = build(bsz, splat_method, dtype, remat)
 
     # chain all iterations inside ONE jitted program: a python dispatch loop
     # under-measures on async/remote runtimes even with data dependencies
@@ -164,7 +147,7 @@ def main():
         return st2
 
     chained = jax.jit(
-        lambda st: jax.lax.fori_loop(0, args.iters, one, st),
+        lambda st: jax.lax.fori_loop(0, iters, one, st),
         donate_argnums=(0,))
 
     state = chained(state)            # compile + warmup
@@ -176,14 +159,46 @@ def main():
         jax.block_until_ready(state.step)
         times.append(time.perf_counter() - t0)
 
-    ms = sorted(times)[1] / args.iters * 1000.0
-    suffix = "" if args.dtype == "float32" else f"_{args.dtype}"
+    ms = sorted(times)[1] / iters * 1000.0
+    suffix = "" if dtype == "float32" else f"_{dtype}"
     print(json.dumps({
-        "metric": f"train_step_ms_bsz{args.bsz}{suffix}",
+        "metric": f"train_step_ms_bsz{bsz}{suffix}",
         "value": round(ms, 3),
         "unit": "ms",
         "vs_baseline": round(BASELINE_STEP_MS / ms, 3),
-    }))
+    }), flush=True)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--bsz", type=int, default=8)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--splat_method", default="scatter",
+                   choices=["scatter", "sorted", "pallas"])
+    # bf16 is the shipping TPU training configuration (params/BN stats/loss
+    # stay f32); use --dtype float32 for reference-parity timing
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--mode", default="all",
+                   choices=["all", "step", "input", "infer"])
+    p.add_argument("--remat", action="store_true")
+    args = p.parse_args()
+
+    if args.mode == "input":
+        bench_input(args.bsz, max(1, args.iters // 5))
+    elif args.mode == "infer":
+        bench_infer(args.bsz, args.iters, args.dtype)
+    elif args.mode == "step":
+        bench_step(args.bsz, args.iters, args.splat_method, args.dtype,
+                   args.remat)
+    else:  # all: f32 step (reference-parity dtype), inference, and the
+        # headline bf16 step LAST so single-line consumers see the headline
+        bench_step(args.bsz, args.iters, args.splat_method, "float32",
+                   args.remat)
+        bench_infer(args.bsz, args.iters, "bfloat16")
+        bench_step(args.bsz, args.iters, args.splat_method, "bfloat16",
+                   args.remat)
 
 
 if __name__ == "__main__":

@@ -46,12 +46,18 @@ def _yaw_rot(deg: float) -> np.ndarray:
 def generate_fixture(root, num_scenes: int = 3, samples_per_scene: int = 4,
                      H: int = 224, W: int = 480, grid: int = 200,
                      seed: int = 0,
-                     orientations=("yaw0pitch0",)) -> Path:
+                     orientations=("yaw0pitch0",),
+                     vehicle_x_range=(-35.0, 35.0)) -> Path:
     """Write a synthetic SimBEV tree under ``root`` and return it.
 
     ``orientations``: rig-orientation directories to emit; a name like
     "yaw30pitch0" adds a 30-degree yaw offset to every camera mount (the
     multi-orientation layout the CVT loader's viewpoint-override consumes).
+
+    ``vehicle_x_range``: ego-X placement range for vehicles. The default is
+    symmetric; pass e.g. ``(2, 35)`` for the forward-biased mass real
+    driving data exhibits (used by the label-distribution validation,
+    reference ``docs/COORDINATE_SYSTEM_FIX.md:66-82``).
     """
     root = Path(root)
     fx = fy = 0.5 * W  # ~90deg hfov
@@ -70,7 +76,9 @@ def generate_fixture(root, num_scenes: int = 3, samples_per_scene: int = 4,
         layouts = []
         for k in range(samples_per_scene):
             n_veh = int(scene_rng.integers(1, 4))
-            layouts.append((scene_rng.uniform(-35, 35, size=(n_veh, 2)),
+            xs = scene_rng.uniform(*vehicle_x_range, size=(n_veh, 1))
+            ys = scene_rng.uniform(-35, 35, size=(n_veh, 1))
+            layouts.append((np.concatenate([xs, ys], axis=1),
                             scene_rng.integers(1, 4, size=n_veh)))
         for orientation in orientations:
             _emit_orientation(root, scene, orientation, _yaw_of(orientation),
