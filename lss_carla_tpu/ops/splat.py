@@ -143,19 +143,23 @@ def voxel_pooling(geom: jnp.ndarray, feats: jnp.ndarray, dx, bx, nx,
     flat = flat.reshape(B, -1)
     pts = feats.reshape(B, -1, C)
 
-    # Perf notes (TPU v5e, B=8, P=43296, C=64, S=40000, chained-in-jit):
-    #   XLA scatter-add (sort-based):        6.4 ms fwd   <- default
-    #   Pallas sequential-RMW kernel:        9.4 ms fwd (at S=20000!)
-    #   host-presorted gather+cumsum+diff:  16.0 ms fwd (cumsum-bound)
-    # XLA's sort-based scatter wins; "pallas" is kept as an alternative and
-    # for grids small enough to keep the accumulator resident in VMEM.
+    # Perf notes (TPU v5e, B=8, P=43296, C=64, S=40000, chained-in-jit;
+    # scripts/splat_bench.py, bf16 feats):
+    #   XLA scatter-add (sort-based):  5.9 ms fwd / 8.7 ms fwd+bwd <- default
+    #   key-only sort + sorted scatter: 6.5 ms fwd / 9.2 ms fwd+bwd
+    #   Pallas sequential-RMW kernel:  9.4 ms fwd (f32, at S=20000!)
+    #   host-presorted gather+cumsum+diff: 16.0 ms fwd (cumsum-bound)
+    # XLA's sort-based scatter wins (kill-memo: docs/ROADMAP.md item 1);
+    # the alternatives are kept for other grid/point topologies.
     if method == "pallas":
         # the Pallas kernel keeps the whole accumulator resident in VMEM;
         # grids whose accumulator exceeds ~12 MB (v5e VMEM is 16 MB) fall
         # back to the XLA scatter, which is also faster at that size (see
-        # perf notes above)
+        # perf notes above). bf16 also falls back: Mosaic rejects the
+        # kernel's sub-tile (1, C) bf16 vector loads on hardware (measured
+        # on v5e; interpret mode masks it), and the scatter is faster anyway.
         acc_bytes = (num_slots + 8) * C * jnp.dtype(feats.dtype).itemsize
-        if acc_bytes > 12 * 1024 * 1024:
+        if acc_bytes > 12 * 1024 * 1024 or feats.dtype != jnp.float32:
             method = "scatter"
 
     if method == "scatter":
