@@ -15,6 +15,8 @@ from lss_carla_tpu.utils.convert import torch_state_dict_to_variables
 
 from torch_twin import TorchLSSTwin, randomize_bn_stats
 
+pytestmark = pytest.mark.slow  # full-model CPU compiles
+
 
 @pytest.fixture(scope="module")
 def twin_and_vars():

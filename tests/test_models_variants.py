@@ -7,6 +7,8 @@ import pytest
 from lss_carla_tpu.models.efficientnet import (EfficientNetTrunk, VARIANTS,
                                                block_plan, round_filters)
 
+pytestmark = pytest.mark.slow  # full-model CPU compiles
+
 
 def test_b4_plan():
     plan = block_plan("b4")

@@ -10,6 +10,8 @@ import pytest
 from lss_carla_tpu.data.fixtures import generate_fixture
 from lss_carla_tpu.training.loop import train
 
+pytestmark = pytest.mark.slow  # full-model CPU compiles
+
 
 GRID_64 = dict(xbound=(-50.0, 50.0, 1.5625), ybound=(-50.0, 50.0, 1.5625),
                dbound=(4.0, 45.0, 8.0))

@@ -10,6 +10,8 @@ from lss_carla_tpu.training.state import create_train_state
 
 from util import tiny_model
 
+pytestmark = pytest.mark.slow  # full-model CPU compiles
+
 
 def test_export_load_roundtrip(tmp_path, rng):
     model = tiny_model()

@@ -11,6 +11,8 @@ import pytest
 from lss_carla_tpu.data.fixtures import generate_fixture
 from lss_carla_tpu.training.loop import train
 
+pytestmark = pytest.mark.slow  # full-model CPU compiles
+
 
 @pytest.fixture(scope="module")
 def fixture_root(tmp_path_factory):
