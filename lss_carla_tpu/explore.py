@@ -184,6 +184,11 @@ def lidar_check(dataroot, outdir="./viz_outputs", H=224, W=480,
     for n in range(geom.shape[1]):
         pts = geom[0, n].reshape(-1, 3)
         ax.scatter(pts[:, 0], pts[:, 1], s=0.3, label=f"cam{n}")
+    # ego footprint (reference tools.py:273-284); plot-x is ego X here
+    from lss_carla_tpu.utils.viz import EGO_L, EGO_OFF, EGO_W
+    xs = np.array([-EGO_L / 2, EGO_L / 2, EGO_L / 2, -EGO_L / 2]) + EGO_OFF
+    ys = np.array([-EGO_W / 2, -EGO_W / 2, EGO_W / 2, EGO_W / 2])
+    ax.fill(xs, ys, "#76b900", zorder=5)
     ax.set_xlabel("ego X (m)")
     ax.set_ylabel("ego Y (m)")
     ax.legend(markerscale=10)
