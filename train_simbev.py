@@ -34,6 +34,8 @@ def main():
     parser.add_argument('--logdir', type=str, default='./runs/simbev')
     parser.add_argument('--val_step', type=int, default=500)
     parser.add_argument('--save_step', type=int, default=1000)
+    parser.add_argument('--viz_step', type=int, default=100,
+                        help='training-figure cadence (0 disables viz)')
     parser.add_argument('--resume', type=str, default=None)
     parser.add_argument('--pretrained_trunk', type=str, default=None,
                         help='ImageNet-pretrained EfficientNet trunk: path '
@@ -86,6 +88,7 @@ def main():
         logdir=args.logdir,
         val_step=args.val_step,
         save_step=args.save_step,
+        viz_step=args.viz_step,
         resume=args.resume,
         pretrained_trunk=args.pretrained_trunk,
         use_wandb=args.use_wandb,
