@@ -8,12 +8,17 @@ dataset tree with the exact schema the loader expects:
       SimBEV_cvt_label/scene_0000/yaw0pitch0/{meta.json, bev_000000.npz}
       sweeps/RGB-CAM_*/*.jpg
 
-Geometry is physically consistent: each camera is a pinhole at the ego
-origin, yawed to its mount direction, with the "ego->cam"-style extrinsics
-stored the way SimBEV does (rotation/translation consumed as-is by the
-cam->ego composition). Boxes of "vehicle" pixels are drawn in the BEV label
-and (approximately) in the camera images so geometry/label alignment tests
-have signal.
+Geometry is physically consistent: each camera is a pinhole mounted
+``CAM_HEIGHT`` above the ground (like a real rig), yawed to its mount
+direction, with the "ego->cam"-style extrinsics stored the way SimBEV does
+(rotation/translation consumed as-is by the cam->ego composition). Vehicles
+are drawn as ground-standing boxes below a sky/ground horizon split, so the
+image carries the two monocular depth cues real driving data has — the
+ground-contact row (v of the box bottom ~ cy + fy*CAM_HEIGHT/depth) and
+apparent size — and a model trained on the fixture can genuinely
+generalize its depth estimates to held-out scenes (a camera at z=0 puts
+every vehicle ON the horizon line, leaving size as the only cue, which
+caps validation IoU).
 """
 
 from __future__ import annotations
@@ -30,6 +35,13 @@ CAM_DIRS = {
     'front_left': 55.0, 'front': 0.0, 'front_right': -55.0,
     'back_left': 110.0, 'back': 180.0, 'back_right': -110.0,
 }
+
+CAM_HEIGHT = 1.6    # camera mount height above ground (m)
+VEH_HALF_W = 1.0    # vehicle half-width for rendering (m)
+VEH_HEIGHT = 1.5    # vehicle box height (m)
+SKY = (100, 140, 180)
+GROUND = (60, 70, 80)
+VEHICLE = (200, 30, 30)
 
 
 def _yaw_rot(deg: float) -> np.ndarray:
@@ -110,21 +122,29 @@ def _emit_orientation(root, scene, orientation, yaw_offset, layouts, intrin,
         np.savez_compressed(meta_dir / bev_name, bev=bev)
 
         images = []
+        T = np.array([0.0, 0.0, CAM_HEIGHT])  # camera position in ego
         for cam in CAMERA_ORDER:
             cam_dir = root / "sweeps" / f"RGB-CAM_{cam.upper()}"
             cam_dir.mkdir(parents=True, exist_ok=True)
-            img = Image.new("RGB", (W, H), (60, 70, 80))
+            # sky above the horizon (level camera -> horizon at v = cy),
+            # ground below: the ground plane reference the depth cue needs
+            img = Image.new("RGB", (W, H), SKY)
             draw = ImageDraw.Draw(img)
+            draw.rectangle([0, cy, W, H], fill=GROUND)
             R = _yaw_rot(CAM_DIRS[cam] + yaw_offset)
-            for (vx, vy) in veh:
-                p_cam = R.T @ np.array([vx, vy, 0.0])  # ego -> cam
-                if p_cam[2] < 2.0:
+            # far-to-near so nearer boxes occlude farther ones
+            order = np.argsort([-(R.T @ (np.append(v3, 0.0) - T))[2]
+                                for v3 in veh])
+            for (vx, vy) in veh[order]:
+                bot = R.T @ (np.array([vx, vy, 0.0]) - T)         # ego->cam
+                top = R.T @ (np.array([vx, vy, VEH_HEIGHT]) - T)
+                if bot[2] < 2.0:
                     continue
-                u = fx * p_cam[0] / p_cam[2] + cx
-                v = fy * p_cam[1] / p_cam[2] + cy
-                r_px = max(2, int(400.0 / p_cam[2]))
-                draw.rectangle([u - r_px, v - r_px, u + r_px, v + r_px],
-                               fill=(200, 30, 30))
+                u = fx * bot[0] / bot[2] + cx
+                v_bot = fy * bot[1] / bot[2] + cy   # ground-contact row
+                v_top = fy * top[1] / top[2] + cy
+                hw = max(2.0, fx * VEH_HALF_W / bot[2])
+                draw.rectangle([u - hw, v_top, u + hw, v_bot], fill=VEHICLE)
             suffix = "" if orientation == "yaw0pitch0" else f"_{orientation}"
             rel = f"sweeps/RGB-CAM_{cam.upper()}/{token}{suffix}.jpg"
             img.save(root / rel, quality=90)
@@ -137,7 +157,7 @@ def _emit_orientation(root, scene, orientation, yaw_offset, layouts, intrin,
         for cam in CAMERA_ORDER:
             E = np.eye(4)
             E[:3, :3] = _yaw_rot(CAM_DIRS[cam] + yaw_offset)
-            E[:3, 3] = 0.0
+            E[:3, 3] = T
             extrinsics.append(E.tolist())
 
         meta.append({
