@@ -36,6 +36,19 @@ def main():
     parser.add_argument('--save_step', type=int, default=1000)
     parser.add_argument('--viz_step', type=int, default=100,
                         help='training-figure cadence (0 disables viz)')
+    # augmentation (train() kwargs in the reference, exposed here as flags;
+    # defaults = reference SimBEV defaults, which DISABLE augmentation).
+    # NOTE the val loader always resizes to max(fH/H, fW/W) (~0.733 at the
+    # default dims) while the train default is scale 1.0 — pass a
+    # --resize_lim bracketing the val scale (e.g. 0.70 0.85, the upstream
+    # LSS nuScenes recipe) to train a scale-robust depth head.
+    parser.add_argument('--resize_lim', type=float, nargs=2,
+                        default=(1.0, 1.0))
+    parser.add_argument('--bot_pct_lim', type=float, nargs=2,
+                        default=(0.0, 0.0))
+    parser.add_argument('--rot_lim', type=float, nargs=2,
+                        default=(0.0, 0.0))
+    parser.add_argument('--rand_flip', action='store_true', default=False)
     parser.add_argument('--resume', type=str, default=None)
     parser.add_argument('--pretrained_trunk', type=str, default=None,
                         help='ImageNet-pretrained EfficientNet trunk: path '
@@ -89,6 +102,10 @@ def main():
         val_step=args.val_step,
         save_step=args.save_step,
         viz_step=args.viz_step,
+        resize_lim=tuple(args.resize_lim),
+        bot_pct_lim=tuple(args.bot_pct_lim),
+        rot_lim=tuple(args.rot_lim),
+        rand_flip=args.rand_flip,
         resume=args.resume,
         pretrained_trunk=args.pretrained_trunk,
         use_wandb=args.use_wandb,
