@@ -166,9 +166,12 @@ class SimBEVDataset:
         aug = sample_augmentation(self.data_aug_conf, self.is_train)
         resize, resize_dims, crop, flip, rotate = aug
 
-        # native fast path only when the pixel pipeline is a pure crop
-        # (the SimBEV default config: resize 1:1, no flip/rotate)
-        trivial_pixels = (not flip and rotate == 0.0
+        # native fast path covers decode+resize+crop+flip (PIL-convention
+        # bicubic, parity within 1/255); only arbitrary-angle rotation
+        # falls back to PIL. The pure-crop case (SimBEV default config:
+        # resize 1:1, no flip) uses the bit-exact crop-only kernel.
+        native_ok = self._native and rotate == 0.0
+        trivial_pixels = (not flip
                           and resize_dims == (self.data_aug_conf.W,
                                               self.data_aug_conf.H))
 
@@ -188,15 +191,24 @@ class SimBEVDataset:
                                                 *self.extrinsic_noise)
 
             img_chw = None
-            if self._native and trivial_pixels and \
-                    img_path.suffix.lower() in (".jpg", ".jpeg"):
+            if native_ok and img_path.suffix.lower() in (".jpg", ".jpeg"):
                 try:
-                    from lss_carla_tpu.native import (decode_crop_normalize,
-                                                      decode_crop_u8)
                     raw = img_path.read_bytes()
-                    img_chw = (decode_crop_u8(raw, crop)
-                               if self.device_normalize
-                               else decode_crop_normalize(raw, crop))
+                    if trivial_pixels:  # bit-exact crop-only kernel
+                        from lss_carla_tpu.native import (
+                            decode_crop_normalize, decode_crop_u8)
+                        img_chw = (decode_crop_u8(raw, crop)
+                                   if self.device_normalize
+                                   else decode_crop_normalize(raw, crop))
+                    else:  # fused decode+resize(+flip)+crop kernel
+                        from lss_carla_tpu.native import (
+                            decode_resize_crop_normalize,
+                            decode_resize_crop_u8)
+                        img_chw = (decode_resize_crop_u8(
+                                       raw, resize_dims, crop, flip)
+                                   if self.device_normalize
+                                   else decode_resize_crop_normalize(
+                                       raw, resize_dims, crop, flip))
                     post_rot2, post_tran2 = post_homography(
                         resize, crop, flip, rotate)
                 except Exception:

@@ -6,4 +6,5 @@ the pure-Python path when the toolchain or libjpeg is unavailable.
 """
 
 from lss_carla_tpu.native.fastimage import (  # noqa: F401
-    decode_crop_normalize, decode_crop_u8, fastimage_available, jpeg_dims)
+    decode_crop_normalize, decode_crop_u8, decode_resize_crop_normalize,
+    decode_resize_crop_u8, fastimage_available, jpeg_dims)

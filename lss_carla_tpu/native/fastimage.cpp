@@ -144,6 +144,226 @@ int decode_crop_u8(const unsigned char* data, long len,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Fused decode + resize + crop (+ flip) — the augmented-train and val paths.
+//
+// Resampling follows PIL's convention (separable, antialiased: the kernel is
+// stretched by the scale factor when downscaling) with PIL's default BICUBIC
+// kernel (Catmull-Rom, a = -0.5), so outputs track the PIL fallback to
+// within rounding (PIL quantizes to uint8 between the two passes; we keep
+// float, so per-pixel differences stay within ~2/255).
+//
+// The crop box is given in RESIZED coordinates (PIL-style l, t, r, b), and
+// only the needed source rows are decoded (scanlines above are skipped,
+// below are never read). The horizontal pass touches only the columns the
+// crop needs. flip reverses x at write-out (matching PIL FLIP_LEFT_RIGHT
+// after crop).
+
+namespace {
+
+struct Taps {
+  int* first;     // first source index per output pixel
+  int* count;     // tap count per output pixel
+  float* weight;  // [out][max_taps] normalized weights
+  int max_taps;
+};
+
+inline float bicubic(float x) {  // Catmull-Rom, a = -0.5 (PIL BICUBIC)
+  const float a = -0.5f;
+  x = x < 0 ? -x : x;
+  if (x < 1.0f) return ((a + 2.0f) * x - (a + 3.0f)) * x * x + 1.0f;
+  if (x < 2.0f) return (((x - 5.0f) * x + 8.0f) * x - 4.0f) * a;
+  return 0.0f;
+}
+
+// Precompute resampling taps mapping out pixels [out_lo, out_lo+out_n) of a
+// virtual resized axis of length out_total, from a source axis of length
+// in_total. PIL convention: center = (i + 0.5) * in/out; support scales by
+// max(1, in/out).
+Taps make_taps(int in_total, int out_total, int out_lo, int out_n) {
+  const float scale = static_cast<float>(in_total) / out_total;
+  const float filterscale = scale < 1.0f ? 1.0f : scale;
+  const float support = 2.0f * filterscale;  // bicubic support = 2
+  const int max_taps = static_cast<int>(support) * 2 + 3;
+  Taps t;
+  t.first = new int[out_n];
+  t.count = new int[out_n];
+  t.weight = new float[static_cast<size_t>(out_n) * max_taps]();
+  t.max_taps = max_taps;
+  for (int i = 0; i < out_n; ++i) {
+    const float center = (out_lo + i + 0.5f) * scale;
+    int lo = static_cast<int>(center - support + 0.5f);
+    int hi = static_cast<int>(center + support + 0.5f);
+    if (lo < 0) lo = 0;
+    if (hi > in_total) hi = in_total;
+    float* w = t.weight + static_cast<size_t>(i) * max_taps;
+    float sum = 0.0f;
+    for (int j = lo; j < hi; ++j) {
+      const float v = bicubic((j - center + 0.5f) / filterscale);
+      w[j - lo] = v;
+      sum += v;
+    }
+    if (sum != 0.0f) {
+      for (int j = 0; j < hi - lo; ++j) w[j] /= sum;
+    }
+    t.first[i] = lo;
+    t.count[i] = hi - lo;
+  }
+  return t;
+}
+
+void free_taps(Taps& t) {
+  delete[] t.first;
+  delete[] t.count;
+  delete[] t.weight;
+}
+
+inline unsigned char clamp_u8(float v) {
+  return v <= 0.0f ? 0 : (v >= 255.0f ? 255 : static_cast<unsigned char>(v + 0.5f));
+}
+
+// Core: decode, resample to (rw, rh), crop (crop_x, crop_y, out_w, out_h) in
+// resized coords, optional horizontal flip. Writes either uint8 CHW (u8_out)
+// or normalized float32 CHW (f_out); exactly one of them is non-null.
+int decode_resize_crop_core(const unsigned char* data, long len,
+                            int rw, int rh,
+                            int crop_x, int crop_y, int out_w, int out_h,
+                            int flip,
+                            const float* mean, const float* inv_std,
+                            unsigned char* u8_out, float* f_out) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  unsigned char* row = nullptr;
+  unsigned char* hband = nullptr;
+  if (setjmp(jerr.setjmp_buffer)) {
+    delete[] row;
+    delete[] hband;
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(data),
+               static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  const int W = cinfo.output_width;
+  const int H = cinfo.output_height;
+  if (rw <= 0 || rh <= 0 || crop_x < 0 || crop_y < 0 ||
+      crop_x + out_w > rw || crop_y + out_h > rh ||
+      cinfo.output_components != 3) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+
+  Taps tx = make_taps(W, rw, crop_x, out_w);
+  Taps ty = make_taps(H, rh, crop_y, out_h);
+
+  // source row window needed across all output rows
+  int src_lo = H, src_hi = 0;
+  for (int y = 0; y < out_h; ++y) {
+    if (ty.first[y] < src_lo) src_lo = ty.first[y];
+    if (ty.first[y] + ty.count[y] > src_hi) src_hi = ty.first[y] + ty.count[y];
+  }
+  const int band_rows = src_hi - src_lo;
+
+  // horizontally-resampled band, quantized to uint8 between the passes —
+  // exactly PIL's data flow (its 8bpc pipeline clamps+rounds the
+  // horizontal pass before the vertical pass), which keeps bicubic
+  // overshoot behavior identical
+  row = new unsigned char[static_cast<size_t>(W) * 3];
+  hband = new unsigned char[static_cast<size_t>(band_rows) * out_w * 3];
+
+  if (src_lo > 0) jpeg_skip_scanlines(&cinfo, src_lo);
+  for (int sy = 0; sy < band_rows; ++sy) {
+    JSAMPROW rowptr = row;
+    jpeg_read_scanlines(&cinfo, &rowptr, 1);
+    unsigned char* dst = hband + static_cast<size_t>(sy) * out_w * 3;
+    for (int x = 0; x < out_w; ++x) {
+      const float* w = tx.weight + static_cast<size_t>(x) * tx.max_taps;
+      const unsigned char* src = row + static_cast<size_t>(tx.first[x]) * 3;
+      float r = 0.0f, g = 0.0f, b = 0.0f;
+      const int n = tx.count[x];
+      for (int j = 0; j < n; ++j) {
+        r += w[j] * src[3 * j + 0];
+        g += w[j] * src[3 * j + 1];
+        b += w[j] * src[3 * j + 2];
+      }
+      dst[3 * x + 0] = clamp_u8(r);
+      dst[3 * x + 1] = clamp_u8(g);
+      dst[3 * x + 2] = clamp_u8(b);
+    }
+  }
+
+  const long plane = static_cast<long>(out_h) * out_w;
+  for (int y = 0; y < out_h; ++y) {
+    const float* w = ty.weight + static_cast<size_t>(y) * ty.max_taps;
+    const int base = ty.first[y] - src_lo;
+    const int n = ty.count[y];
+    for (int x = 0; x < out_w; ++x) {
+      float r = 0.0f, g = 0.0f, b = 0.0f;
+      for (int j = 0; j < n; ++j) {
+        const unsigned char* px =
+            hband + (static_cast<size_t>(base + j) * out_w + x) * 3;
+        r += w[j] * px[0];
+        g += w[j] * px[1];
+        b += w[j] * px[2];
+      }
+      const int xo = flip ? (out_w - 1 - x) : x;
+      const long idx = static_cast<long>(y) * out_w + xo;
+      if (u8_out != nullptr) {
+        u8_out[idx] = clamp_u8(r);
+        u8_out[idx + plane] = clamp_u8(g);
+        u8_out[idx + 2 * plane] = clamp_u8(b);
+      } else {
+        // match the PIL path's arithmetic: quantize to uint8 first, then
+        // normalize (the PIL fallback converts to uint8 RGB before
+        // normalize_img)
+        f_out[idx] = (clamp_u8(r) * (1.0f / 255.0f) - mean[0]) * inv_std[0];
+        f_out[idx + plane] =
+            (clamp_u8(g) * (1.0f / 255.0f) - mean[1]) * inv_std[1];
+        f_out[idx + 2 * plane] =
+            (clamp_u8(b) * (1.0f / 255.0f) - mean[2]) * inv_std[2];
+      }
+    }
+  }
+
+  delete[] row;
+  delete[] hband;
+  free_taps(tx);
+  free_taps(ty);
+  jpeg_abort_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+}  // namespace
+
+// Decode + PIL-convention bicubic resize to (rw, rh) + crop (resized coords)
+// + optional horizontal flip; uint8 CHW out.
+int decode_resize_crop_u8(const unsigned char* data, long len,
+                          int rw, int rh,
+                          int crop_x, int crop_y, int out_w, int out_h,
+                          int flip, unsigned char* out) {
+  return decode_resize_crop_core(data, len, rw, rh, crop_x, crop_y,
+                                 out_w, out_h, flip, nullptr, nullptr,
+                                 out, nullptr);
+}
+
+// Same, normalized float32 CHW out.
+int decode_resize_crop_normalize(const unsigned char* data, long len,
+                                 int rw, int rh,
+                                 int crop_x, int crop_y, int out_w, int out_h,
+                                 int flip, const float* mean,
+                                 const float* inv_std, float* out) {
+  return decode_resize_crop_core(data, len, rw, rh, crop_x, crop_y,
+                                 out_w, out_h, flip, mean, inv_std,
+                                 nullptr, out);
+}
+
 // Probe the dimensions of a JPEG without full decode.
 int jpeg_dims(const unsigned char* data, long len, int* w, int* h) {
   jpeg_decompress_struct cinfo;

@@ -71,6 +71,24 @@ def _get_lib() -> Optional[ctypes.CDLL]:
                 lib.jpeg_dims.argtypes = [
                     ctypes.c_char_p, ctypes.c_long,
                     ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+                lib.decode_resize_crop_u8.restype = ctypes.c_int
+                lib.decode_resize_crop_u8.argtypes = [
+                    ctypes.c_char_p, ctypes.c_long,
+                    ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_ubyte),
+                ]
+                lib.decode_resize_crop_normalize.restype = ctypes.c_int
+                lib.decode_resize_crop_normalize.argtypes = [
+                    ctypes.c_char_p, ctypes.c_long,
+                    ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_float),
+                ]
             _lib = lib
     return _lib
 
@@ -105,6 +123,49 @@ def decode_crop_u8(data: bytes, crop: Tuple[int, int, int, int]) -> np.ndarray:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
     if rc != 0:
         raise ValueError(f"decode_crop_u8 failed (rc={rc})")
+    return out
+
+
+def decode_resize_crop_u8(data: bytes, resize_dims: Tuple[int, int],
+                          crop: Tuple[int, int, int, int],
+                          flip: bool = False) -> np.ndarray:
+    """JPEG bytes -> PIL-convention bicubic resize to ``resize_dims``
+    (w, h) -> crop (l, t, r, b in resized coords) -> optional horizontal
+    flip -> uint8 CHW array."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("fastimage unavailable")
+    rw, rh = resize_dims
+    left, top, right, bottom = crop
+    out_w, out_h = right - left, bottom - top
+    out = np.empty((3, out_h, out_w), dtype=np.uint8)
+    rc = lib.decode_resize_crop_u8(
+        data, len(data), rw, rh, left, top, out_w, out_h, int(flip),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+    if rc != 0:
+        raise ValueError(f"decode_resize_crop_u8 failed (rc={rc})")
+    return out
+
+
+def decode_resize_crop_normalize(data: bytes, resize_dims: Tuple[int, int],
+                                 crop: Tuple[int, int, int, int],
+                                 flip: bool = False) -> np.ndarray:
+    """Like :func:`decode_resize_crop_u8` but ImageNet-normalized float32
+    CHW (quantized to uint8 before normalize, matching the PIL path)."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("fastimage unavailable")
+    rw, rh = resize_dims
+    left, top, right, bottom = crop
+    out_w, out_h = right - left, bottom - top
+    out = np.empty((3, out_h, out_w), dtype=np.float32)
+    rc = lib.decode_resize_crop_normalize(
+        data, len(data), rw, rh, left, top, out_w, out_h, int(flip),
+        _MEAN.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        _INV_STD.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if rc != 0:
+        raise ValueError(f"decode_resize_crop_normalize failed (rc={rc})")
     return out
 
 

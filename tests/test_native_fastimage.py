@@ -49,14 +49,39 @@ def test_bad_jpeg_raises():
         decode_crop_normalize(b"not a jpeg at all", (0, 0, 8, 8))
 
 
+def test_decode_resize_crop_matches_pil(rng):
+    """The fused resize kernel follows PIL's default bicubic to within the
+    1/255 PIL-intermediate-quantization rounding, incl. flip."""
+    from lss_carla_tpu.native import decode_resize_crop_u8
+    data = _jpeg_bytes(rng)
+    for resize, flip in [(0.7333333333333333, False), (0.85, True),
+                         (1.0, True)]:
+        rw, rh = int(480 * resize), int(224 * resize)
+        fW, fH = min(352, rw), min(128, rh)
+        crop = ((rw - fW) // 2, rh - fH, (rw - fW) // 2 + fW, rh)
+        pil = Image.open(io.BytesIO(data)).resize((rw, rh)).crop(crop)
+        if flip:
+            pil = pil.transpose(method=Image.FLIP_LEFT_RIGHT)
+        want = np.asarray(pil.convert("RGB")).transpose(2, 0, 1)
+        got = decode_resize_crop_u8(data, (rw, rh), crop, flip)
+        diff = np.abs(got.astype(int) - want.astype(int))
+        assert diff.max() <= 1, (resize, flip, diff.max())
+
+
+# normalized-space tolerance for a 1/255 pixel difference (std ~0.225)
+_ATOL_1PX = 2.0 / 255.0 / 0.224
+
+
 def test_dataset_native_matches_pil_path(tmp_path, rng):
+    """Val pipeline (resize 0.733 + center crop): native vs PIL loaders
+    agree to within resample rounding; all geometry outputs are identical."""
     from lss_carla_tpu.configs import DataAugConf, GridConf
     from lss_carla_tpu.data.fixtures import generate_fixture
     from lss_carla_tpu.data.simbev import SegmentationData
 
     root = generate_fixture(tmp_path, num_scenes=2, samples_per_scene=1,
                             H=224, W=480)
-    aug = DataAugConf()  # default: pure-crop pipeline -> native eligible
+    aug = DataAugConf()
     ds_native = SegmentationData(root, is_train=False, data_aug_conf=aug,
                                  grid_conf=GridConf(), use_native=True)
     ds_pil = SegmentationData(root, is_train=False, data_aug_conf=aug,
@@ -64,6 +89,51 @@ def test_dataset_native_matches_pil_path(tmp_path, rng):
     assert ds_native._native
     a = ds_native[0]
     b = ds_pil[0]
-    np.testing.assert_allclose(a[0], b[0], atol=1e-5)  # images identical
+    np.testing.assert_allclose(a[0], b[0], atol=_ATOL_1PX)
     for x, y in zip(a[1:], b[1:]):
         np.testing.assert_array_equal(x, y)
+
+
+def test_dataset_native_matches_pil_path_train_aug(tmp_path, rng):
+    """Augmented train pipeline (random resize + crop + flip): same aug
+    draw (seeded) through native and PIL paths agrees incl. homography."""
+    from lss_carla_tpu.configs import DataAugConf, GridConf
+    from lss_carla_tpu.data.fixtures import generate_fixture
+    from lss_carla_tpu.data.simbev import SegmentationData
+
+    root = generate_fixture(tmp_path, num_scenes=2, samples_per_scene=1,
+                            H=224, W=480)
+    aug = DataAugConf(resize_lim=(0.70, 0.85), rand_flip=True)
+    ds_native = SegmentationData(root, is_train=True, data_aug_conf=aug,
+                                 grid_conf=GridConf(), use_native=True)
+    ds_pil = SegmentationData(root, is_train=True, data_aug_conf=aug,
+                              grid_conf=GridConf(), use_native=False)
+    for seed in (0, 1, 2):
+        np.random.seed(seed)
+        a = ds_native[0]
+        np.random.seed(seed)
+        b = ds_pil[0]
+        np.testing.assert_allclose(a[0], b[0], atol=_ATOL_1PX)
+        for x, y in zip(a[1:], b[1:]):
+            np.testing.assert_array_equal(x, y)
+
+
+def test_dataset_native_rotation_falls_back(tmp_path, rng):
+    """Arbitrary-angle rotation is PIL-only: both paths must still agree
+    exactly (the native dataset falls back for rotate != 0)."""
+    from lss_carla_tpu.configs import DataAugConf, GridConf
+    from lss_carla_tpu.data.fixtures import generate_fixture
+    from lss_carla_tpu.data.simbev import SegmentationData
+
+    root = generate_fixture(tmp_path, num_scenes=2, samples_per_scene=1,
+                            H=224, W=480)
+    aug = DataAugConf(rot_lim=(3.0, 5.0))
+    ds_native = SegmentationData(root, is_train=True, data_aug_conf=aug,
+                                 grid_conf=GridConf(), use_native=True)
+    ds_pil = SegmentationData(root, is_train=True, data_aug_conf=aug,
+                              grid_conf=GridConf(), use_native=False)
+    np.random.seed(7)
+    a = ds_native[0]
+    np.random.seed(7)
+    b = ds_pil[0]
+    np.testing.assert_allclose(a[0], b[0], atol=1e-6)
