@@ -61,7 +61,8 @@ def _yaw_quat(yaw: float):
 def generate_nuscenes_fixture(root, num_scenes: int = 3,
                               samples_per_scene: int = 3,
                               H: int = 224, W: int = 480, seed: int = 0,
-                              version: str = "v1.0-mini") -> Path:
+                              version: str = "v1.0-mini",
+                              map_name: str = "boston-seaport") -> Path:
     root = Path(root)
     table_dir = root / version
     table_dir.mkdir(parents=True, exist_ok=True)
@@ -171,13 +172,84 @@ def generate_nuscenes_fixture(root, num_scenes: int = 3,
                     "is_key_frame": True,
                 })
 
+    logs = [{"token": "log_0", "location": map_name}]
+    for sc in scenes:
+        sc["log_token"] = "log_0"
+
     tables = {
         "scene": scenes, "sample": samples, "sample_data": sample_datas,
         "calibrated_sensor": calibs, "sensor": sensors,
         "ego_pose": ego_poses, "sample_annotation": annotations,
-        "instance": instances, "category": categories,
+        "instance": instances, "category": categories, "log": logs,
     }
     for name, rows in tables.items():
         with open(table_dir / f"{name}.json", "w") as f:
             json.dump(rows, f)
+    write_map_fixture(root, map_name)
     return root
+
+
+def write_map_fixture(root, map_name: str = "boston-seaport",
+                      half: float = 260.0, road_hw: float = 8.0) -> Path:
+    """Write a tiny map-expansion JSON (nodes/lines/polygons + layer tables).
+
+    Geometry: two crossing road strips through the origin spanning
+    ``±half`` (wide enough to intersect every fixture ego pose, which are
+    drawn from ±200), each split into two lanes by a center road divider,
+    with lane dividers at the outer lane edges. Schema matches the
+    published map expansion consumed by ``data.nusc_maps``.
+    """
+    root = Path(root)
+    nodes, lines, polygons = [], [], []
+    road_segments, lanes, road_dividers, lane_dividers = [], [], [], []
+
+    def add_nodes(pts):
+        toks = []
+        for (x, y) in pts:
+            tok = f"node_{len(nodes)}"
+            nodes.append({"token": tok, "x": float(x), "y": float(y)})
+            toks.append(tok)
+        return toks
+
+    def add_polygon(pts):
+        tok = f"poly_{len(polygons)}"
+        polygons.append({"token": tok, "exterior_node_tokens": add_nodes(pts),
+                         "holes": []})
+        return tok
+
+    def add_line(pts):
+        tok = f"line_{len(lines)}"
+        lines.append({"token": tok, "node_tokens": add_nodes(pts)})
+        return tok
+
+    h, w = half, road_hw
+    for horiz in (True, False):
+        def pt(a, b):  # (along, across) -> (x, y)
+            return (a, b) if horiz else (b, a)
+
+        road_segments.append({
+            "token": f"seg_{int(horiz)}", "is_intersection": False,
+            "polygon_token": add_polygon(
+                [pt(-h, -w), pt(h, -w), pt(h, w), pt(-h, w)])})
+        for lo, hi in ((-w, 0.0), (0.0, w)):
+            lanes.append({
+                "token": f"lane_{int(horiz)}_{int(hi > 0)}",
+                "polygon_token": add_polygon(
+                    [pt(-h, lo), pt(h, lo), pt(h, hi), pt(-h, hi)])})
+        road_dividers.append({
+            "token": f"rdiv_{int(horiz)}",
+            "line_token": add_line([pt(-h, 0.0), pt(h, 0.0)])})
+        for edge in (-w, w):
+            lane_dividers.append({
+                "token": f"ldiv_{int(horiz)}_{int(edge > 0)}",
+                "line_token": add_line([pt(-h, edge), pt(h, edge)])})
+
+    data = {"node": nodes, "line": lines, "polygon": polygons,
+            "road_segment": road_segments, "lane": lanes,
+            "road_divider": road_dividers, "lane_divider": lane_dividers}
+    out_dir = root / "maps" / "expansion"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    path = out_dir / f"{map_name}.json"
+    with open(path, "w") as f:
+        json.dump(data, f)
+    return path

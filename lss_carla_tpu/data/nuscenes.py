@@ -76,6 +76,11 @@ class NuScenesTables:
         self.sample_annotation = _load_table(table_dir, "sample_annotation")
         self.instance = by_token(_load_table(table_dir, "instance"))
         self.category = by_token(_load_table(table_dir, "category"))
+        # log table: scene -> map location (optional — only viz needs it)
+        try:
+            self.log = by_token(_load_table(table_dir, "log"))
+        except FileNotFoundError:
+            self.log = {}
 
         # index: sample_token -> {channel: sample_data record} (key frames)
         self.cam_data: Dict[str, Dict[str, dict]] = {}
@@ -93,6 +98,17 @@ class NuScenesTables:
     def category_name(self, ann: dict) -> str:
         inst = self.instance[ann["instance_token"]]
         return self.category[inst["category_token"]]["name"]
+
+    def scene2map(self) -> Dict[str, str]:
+        """scene name -> map location (reference ``explore.py:305-308``).
+
+        Scenes without a resolvable log fall back to ``boston-seaport`` so
+        table sets predating the log table still visualize."""
+        out = {}
+        for sc in self.scene:
+            log = self.log.get(sc.get("log_token", ""), {})
+            out[sc["name"]] = log.get("location", "boston-seaport")
+        return out
 
 
 class NuScenesDataset:

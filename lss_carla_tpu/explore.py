@@ -38,11 +38,19 @@ from lss_carla_tpu.utils.checkpoint import CheckpointManager
 
 def _build(dataroot, bsz=4, nworkers=4, H=224, W=480, final_dim=(128, 352),
            ncams=6, checkpoint: Optional[str] = None, best: bool = False,
-           grid_conf: Optional[GridConf] = None, **model_kw):
+           grid_conf: Optional[GridConf] = None, dataset: str = "simbev",
+           version: str = "v1.0-mini", **model_kw):
     grid_conf = grid_conf or GridConf()
     aug_conf = DataAugConf(H=H, W=W, final_dim=tuple(final_dim), Ncams=ncams)
-    trainloader, valloader = compile_data(
-        "unused", dataroot, aug_conf, grid_conf, bsz=bsz, nworkers=nworkers)
+    if dataset == "nuscenes":
+        from lss_carla_tpu.data.nuscenes import compile_data_nuscenes
+        trainloader, valloader = compile_data_nuscenes(
+            version, dataroot, aug_conf, grid_conf, bsz=bsz,
+            nworkers=nworkers)
+    else:
+        trainloader, valloader = compile_data(
+            "unused", dataroot, aug_conf, grid_conf, bsz=bsz,
+            nworkers=nworkers)
     model = compile_model(grid_conf, aug_conf, outC=1, **model_kw)
     fH, fW = aug_conf.final_dim
     sample = (
@@ -73,12 +81,47 @@ def eval_model_iou(dataroot, checkpoint: str, bsz=4, nworkers=4, **kw):
 
 
 def viz_model_preds(dataroot, checkpoint: Optional[str] = None,
-                    outdir="./viz_outputs", max_batches=2, bsz=4, **kw):
+                    outdir="./viz_outputs", max_batches=2, bsz=4,
+                    dataset: str = "simbev",
+                    map_folder: Optional[str] = None, **kw):
+    """Render camera/GT/pred/overlay panels (reference ``explore.py:249-363``).
+
+    With ``dataset="nuscenes"`` and a ``map_folder`` holding the map
+    expansion JSONs, the prediction panel gets the reference's static-map
+    underlay (road/lane polygons + dividers in the ego frame,
+    ``explore.py:353-358``)."""
     from lss_carla_tpu.utils.viz import make_bev_figure
     import matplotlib.pyplot as plt
 
-    model, state, _, valloader, *_ = _build(
-        dataroot, bsz=bsz, checkpoint=checkpoint, **kw)
+    model, state, _, valloader, grid_conf, _aug = _build(
+        dataroot, bsz=bsz, checkpoint=checkpoint, dataset=dataset, **kw)
+    extent = (grid_conf.ybound[0], grid_conf.ybound[1],
+              grid_conf.xbound[0], grid_conf.xbound[1])
+
+    map_draw_for = None
+    if map_folder is not None:
+        if dataset != "nuscenes":
+            raise ValueError("map underlay needs dataset='nuscenes' "
+                             "(SimBEV publishes no map expansion)")
+        from lss_carla_tpu.data.nusc_maps import (get_nusc_maps,
+                                                  plot_nusc_map,
+                                                  yaw_from_quat)
+        ds = valloader.dataset
+        nusc_maps = get_nusc_maps(map_folder)
+        scene2map = ds.t.scene2map()
+        scene_name = {sc["token"]: sc["name"] for sc in ds.t.scene}
+        stretch = max(abs(float(b)) for b in extent)
+
+        def map_draw_for(idx):
+            tok = ds.samples[idx % len(ds.samples)]
+            loc = scene2map[scene_name[ds.t.sample[tok]["scene_token"]]]
+            if loc not in nusc_maps:
+                return None
+            pose = ds._ego_pose_for(tok)
+            yaw = yaw_from_quat(pose["rotation"])
+            return lambda ax: plot_nusc_map(
+                ax, nusc_maps[loc], pose["translation"][:2], yaw, stretch)
+
     predict = make_predict_step(model)
     os.makedirs(outdir, exist_ok=True)
     count = 0
@@ -91,9 +134,11 @@ def viz_model_preds(dataroot, checkpoint: Optional[str] = None,
         for si in range(preds.shape[0]):
             if len(batch) > 7 and float(batch[7][si]) == 0.0:
                 continue  # pad_last wrap-around duplicate, not a real sample
-            fig = make_bev_figure(np.asarray(batch[0][si]),
-                                  np.asarray(batch[6][si, 0]),
-                                  preds[si, 0])
+            fig = make_bev_figure(
+                np.asarray(batch[0][si]), np.asarray(batch[6][si, 0]),
+                preds[si, 0], extent=extent,
+                map_draw=(map_draw_for(bi * bsz + si)
+                          if map_draw_for else None))
             path = os.path.join(outdir, f"eval{count:06d}.png")
             fig.savefig(path)
             plt.close(fig)
@@ -212,6 +257,13 @@ if __name__ == "__main__":
         sp.add_argument("--best", action="store_true",
                         help="restore the best-by-val-IoU checkpoint")
         sp.add_argument("--bsz", type=int, default=2)
+        if name == "viz_model_preds":
+            sp.add_argument("--dataset", default="simbev",
+                            choices=("simbev", "nuscenes"))
+            sp.add_argument("--map_folder", default=None,
+                            help="nuScenes map-expansion folder for the "
+                                 "static-map underlay")
+            sp.add_argument("--version", default="v1.0-mini")
     a = p.parse_args()
     kwargs = {}
     if a.dataroot is not None:
@@ -219,6 +271,9 @@ if __name__ == "__main__":
     if a.checkpoint is not None:
         kwargs["checkpoint"] = a.checkpoint
         kwargs["best"] = a.best
+    if a.cmd == "viz_model_preds":
+        kwargs.update(dataset=a.dataset, map_folder=a.map_folder,
+                      version=a.version)
     if a.cmd in ("splat_check", "lidar_check"):
         kwargs.pop("best", None)
     globals()[a.cmd](bsz=a.bsz, **kwargs)

@@ -38,10 +38,13 @@ def _bev_axes(ax, extent):
 
 def make_bev_figure(cam_imgs: np.ndarray, gt: np.ndarray, pred_sigmoid:
                     np.ndarray, title: str = "",
-                    extent=(-50.0, 50.0, -50.0, 50.0)):
+                    extent=(-50.0, 50.0, -50.0, 50.0), map_draw=None):
     """cam_imgs (N, 3, H, W) normalized; gt/pred (X, Y) in [0, 1].
 
-    ``extent``: metric bounds (ymin, ymax, xmin, xmax) of the BEV grid."""
+    ``extent``: metric bounds (ymin, ymax, xmin, xmax) of the BEV grid.
+    ``map_draw``: optional ``f(ax)`` drawing a static-map underlay onto the
+    prediction panel (reference ``explore.py:353-358`` draws the nuScenes
+    map there; see ``data.nusc_maps.plot_nusc_map``)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -62,6 +65,10 @@ def make_bev_figure(cam_imgs: np.ndarray, gt: np.ndarray, pred_sigmoid:
         ax = plt.subplot(3, 3, 7 + k)
         ax.imshow(data, cmap="hot", vmin=0, vmax=1, origin="lower",
                   extent=list(extent))
+        if map_draw is not None and name == "BEV Prediction":
+            map_draw(ax)
+            ax.set_xlim(extent[0], extent[1])
+            ax.set_ylim(extent[2], extent[3])
         ax.set_title(name, fontsize=12, fontweight="bold")
         _bev_axes(ax, extent)
 
