@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -107,15 +107,18 @@ class NuscMap:
             self.bboxes[layer] = np.zeros((0, 4))
 
 
-def get_nusc_maps(map_folder) -> Dict[str, NuscMap]:
-    """Load every standard map location present under ``map_folder``.
+def get_nusc_maps(map_folder,
+                  names: Optional[Sequence[str]] = None) -> Dict[str, NuscMap]:
+    """Load map locations present under ``map_folder``.
 
     Reference ``get_nusc_maps`` (tools.py:287-296) hard-requires all four
     locations; here a subset is allowed (fixtures ship one) but an empty
-    folder is an error.
+    folder is an error. Pass ``names`` to load only the locations a split
+    actually uses — the real expansion JSONs are hundreds of MB each, so
+    eager-loading all four costs minutes of startup for nothing.
     """
     maps = {}
-    for name in NUSC_MAP_NAMES:
+    for name in (NUSC_MAP_NAMES if names is None else names):
         try:
             maps[name] = NuscMap(map_folder, name)
         except FileNotFoundError:

@@ -194,12 +194,17 @@ class SimBEVDataset:
             if native_ok and img_path.suffix.lower() in (".jpg", ".jpeg"):
                 try:
                     raw = img_path.read_bytes()
-                    if trivial_pixels:  # bit-exact crop-only kernel
+                    if trivial_pixels:
+                        # bit-exact crop-only kernel; expected_dims guards
+                        # against on-disk images that differ from the
+                        # configured (W, H) — those must go through a
+                        # resize first (rc 3 -> PIL fallback)
                         from lss_carla_tpu.native import (
                             decode_crop_normalize, decode_crop_u8)
-                        img_chw = (decode_crop_u8(raw, crop)
+                        img_chw = (decode_crop_u8(raw, crop, resize_dims)
                                    if self.device_normalize
-                                   else decode_crop_normalize(raw, crop))
+                                   else decode_crop_normalize(
+                                       raw, crop, resize_dims))
                     else:  # fused decode+resize(+flip)+crop kernel
                         from lss_carla_tpu.native import (
                             decode_resize_crop_normalize,
@@ -211,8 +216,18 @@ class SimBEVDataset:
                                        raw, resize_dims, crop, flip))
                     post_rot2, post_tran2 = post_homography(
                         resize, crop, flip, rotate)
-                except Exception:
+                except Exception as e:
                     img_chw = None  # fall back to PIL below
+                    if not getattr(self, "_native_fallback_warned", False):
+                        # a systematic kernel failure would otherwise
+                        # silently halve loader throughput — surface the
+                        # first occurrence (e.g. rc=2 crop outside the
+                        # resized image when resize_lim dips below
+                        # final_dim/dims, rc=3 unexpected file size)
+                        self._native_fallback_warned = True
+                        print(f"fastimage fallback to PIL: {e!r} "
+                              f"({img_path.name}; further falls are "
+                              f"silent)")
 
             if img_chw is None:
                 img = Image.open(img_path)

@@ -107,9 +107,13 @@ def viz_model_preds(dataroot, checkpoint: Optional[str] = None,
                                                   plot_nusc_map,
                                                   yaw_from_quat)
         ds = valloader.dataset
-        nusc_maps = get_nusc_maps(map_folder)
         scene2map = ds.t.scene2map()
         scene_name = {sc["token"]: sc["name"] for sc in ds.t.scene}
+        # only load the locations this split's scenes actually use (the
+        # real expansion JSONs are hundreds of MB each)
+        used = {scene2map[scene_name[ds.t.sample[tok]["scene_token"]]]
+                for tok in ds.samples}
+        nusc_maps = get_nusc_maps(map_folder, names=sorted(used))
         stretch = max(abs(float(b)) for b in extent)
 
         def map_draw_for(idx):

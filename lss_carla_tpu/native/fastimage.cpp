@@ -6,11 +6,12 @@
 // into the cropped region, normalized into a float32 CHW plane, no
 // intermediate RGB buffer for the full image.
 //
-// Only the non-augmented path runs here (resize==1, no flip/rotate — the
-// SimBEV default config, reference train_simbev.py:31-35); augmented
-// samples fall back to PIL in Python. Pixel parity with the PIL path is
-// exact: both use libjpeg's default IDCT, and crop+normalize is the same
-// arithmetic.
+// Two kernels: a bit-exact crop-only path (resize==1 — the SimBEV default
+// config, reference train_simbev.py:31-35) and a fused
+// decode+resize+crop(+flip) path for augmented/val samples (PIL-convention
+// bicubic, parity within 1/255). Only arbitrary-angle rotation falls back
+// to PIL in Python. The crop-only path is exact: both it and PIL use
+// libjpeg's default IDCT, and crop+normalize is the same arithmetic.
 //
 // Build: g++ -O3 -march=native -shared -fPIC fastimage.cpp -ljpeg -o libfastimage.so
 
@@ -39,16 +40,25 @@ extern "C" {
 // Decode a JPEG from memory, crop [crop_x, crop_x+out_w) x [crop_y,
 // crop_y+out_h), normalize with (mean, std) per channel, write float32 CHW
 // into out (3 * out_h * out_w floats).
-// Returns 0 on success, nonzero on error (bad jpeg, crop out of bounds).
+// src_w/src_h: expected decoded dimensions (pass -1 to skip the check).
+// The crop-only kernel is only PIL-equivalent when the on-disk image
+// already has the configured (W, H) — callers pass the configured dims so
+// a mismatched file errors (rc 3) and falls back to the resizing path
+// instead of silently cropping unresized pixels.
+// Returns 0 on success, nonzero on error (1 bad jpeg, 2 crop out of
+// bounds/degenerate, 3 decoded dims != (src_w, src_h)).
 int decode_crop_normalize(const unsigned char* data, long len,
                           int crop_x, int crop_y, int out_w, int out_h,
+                          int src_w, int src_h,
                           const float* mean, const float* inv_std,
                           float* out) {
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
+  unsigned char* volatile row_v = nullptr;
   if (setjmp(jerr.setjmp_buffer)) {
+    delete[] row_v;
     jpeg_destroy_decompress(&cinfo);
     return 1;
   }
@@ -61,7 +71,13 @@ int decode_crop_normalize(const unsigned char* data, long len,
 
   const int W = cinfo.output_width;
   const int H = cinfo.output_height;
-  if (crop_x < 0 || crop_y < 0 || crop_x + out_w > W || crop_y + out_h > H ||
+  if ((src_w >= 0 && W != src_w) || (src_h >= 0 && H != src_h)) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 3;
+  }
+  if (out_w <= 0 || out_h <= 0 ||
+      crop_x < 0 || crop_y < 0 || crop_x + out_w > W || crop_y + out_h > H ||
       cinfo.output_components != 3) {
     jpeg_abort_decompress(&cinfo);
     jpeg_destroy_decompress(&cinfo);
@@ -69,6 +85,7 @@ int decode_crop_normalize(const unsigned char* data, long len,
   }
 
   unsigned char* row = new unsigned char[static_cast<size_t>(W) * 3];
+  row_v = row;
   const long plane = static_cast<long>(out_h) * out_w;
   // skip rows above the crop cheaply
   if (crop_y > 0) {
@@ -95,14 +112,18 @@ int decode_crop_normalize(const unsigned char* data, long len,
 
 // Decode + crop only, uint8 CHW out (3 * out_h * out_w bytes) — for the
 // normalize-on-device path (4x smaller host->device transfer).
+// src_w/src_h and return codes as in decode_crop_normalize.
 int decode_crop_u8(const unsigned char* data, long len,
                    int crop_x, int crop_y, int out_w, int out_h,
+                   int src_w, int src_h,
                    unsigned char* out) {
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
+  unsigned char* volatile row_v = nullptr;
   if (setjmp(jerr.setjmp_buffer)) {
+    delete[] row_v;
     jpeg_destroy_decompress(&cinfo);
     return 1;
   }
@@ -114,13 +135,20 @@ int decode_crop_u8(const unsigned char* data, long len,
   jpeg_start_decompress(&cinfo);
   const int W = cinfo.output_width;
   const int H = cinfo.output_height;
-  if (crop_x < 0 || crop_y < 0 || crop_x + out_w > W || crop_y + out_h > H ||
+  if ((src_w >= 0 && W != src_w) || (src_h >= 0 && H != src_h)) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 3;
+  }
+  if (out_w <= 0 || out_h <= 0 ||
+      crop_x < 0 || crop_y < 0 || crop_x + out_w > W || crop_y + out_h > H ||
       cinfo.output_components != 3) {
     jpeg_abort_decompress(&cinfo);
     jpeg_destroy_decompress(&cinfo);
     return 2;
   }
   unsigned char* row = new unsigned char[static_cast<size_t>(W) * 3];
+  row_v = row;
   const long plane = static_cast<long>(out_h) * out_w;
   if (crop_y > 0) {
     jpeg_skip_scanlines(&cinfo, crop_y);
@@ -150,8 +178,10 @@ int decode_crop_u8(const unsigned char* data, long len,
 // Resampling follows PIL's convention (separable, antialiased: the kernel is
 // stretched by the scale factor when downscaling) with PIL's default BICUBIC
 // kernel (Catmull-Rom, a = -0.5), so outputs track the PIL fallback to
-// within rounding (PIL quantizes to uint8 between the two passes; we keep
-// float, so per-pixel differences stay within ~2/255).
+// within rounding. Like PIL's 8bpc pipeline, the intermediate
+// horizontally-resampled band is quantized to uint8 before the vertical
+// pass (see the hband comment below), keeping bicubic overshoot behavior
+// identical — measured parity is within 1/255 per pixel.
 //
 // The crop box is given in RESIZED coordinates (PIL-style l, t, r, b), and
 // only the needed source rows are decoded (scanlines above are skipped,
@@ -235,11 +265,19 @@ int decode_resize_crop_core(const unsigned char* data, long len,
   ErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
-  unsigned char* row = nullptr;
-  unsigned char* hband = nullptr;
+  // longjmp-safe cleanup mirrors: locals modified after setjmp must be
+  // volatile-qualified to be readable in the handler (C standard), and the
+  // taps allocations must be released too (a truncated JPEG erroring inside
+  // jpeg_read_scanlines would otherwise leak them on every bad file).
+  unsigned char* volatile row_v = nullptr;
+  unsigned char* volatile hband_v = nullptr;
+  int* volatile taps_ints[4] = {nullptr, nullptr, nullptr, nullptr};
+  float* volatile taps_floats[2] = {nullptr, nullptr};
   if (setjmp(jerr.setjmp_buffer)) {
-    delete[] row;
-    delete[] hband;
+    delete[] row_v;
+    delete[] hband_v;
+    for (int i = 0; i < 4; ++i) delete[] taps_ints[i];
+    for (int i = 0; i < 2; ++i) delete[] taps_floats[i];
     jpeg_destroy_decompress(&cinfo);
     return 1;
   }
@@ -251,7 +289,8 @@ int decode_resize_crop_core(const unsigned char* data, long len,
   jpeg_start_decompress(&cinfo);
   const int W = cinfo.output_width;
   const int H = cinfo.output_height;
-  if (rw <= 0 || rh <= 0 || crop_x < 0 || crop_y < 0 ||
+  if (rw <= 0 || rh <= 0 || out_w <= 0 || out_h <= 0 ||
+      crop_x < 0 || crop_y < 0 ||
       crop_x + out_w > rw || crop_y + out_h > rh ||
       cinfo.output_components != 3) {
     jpeg_abort_decompress(&cinfo);
@@ -261,6 +300,12 @@ int decode_resize_crop_core(const unsigned char* data, long len,
 
   Taps tx = make_taps(W, rw, crop_x, out_w);
   Taps ty = make_taps(H, rh, crop_y, out_h);
+  taps_ints[0] = tx.first;
+  taps_ints[1] = tx.count;
+  taps_ints[2] = ty.first;
+  taps_ints[3] = ty.count;
+  taps_floats[0] = tx.weight;
+  taps_floats[1] = ty.weight;
 
   // source row window needed across all output rows
   int src_lo = H, src_hi = 0;
@@ -274,8 +319,11 @@ int decode_resize_crop_core(const unsigned char* data, long len,
   // exactly PIL's data flow (its 8bpc pipeline clamps+rounds the
   // horizontal pass before the vertical pass), which keeps bicubic
   // overshoot behavior identical
-  row = new unsigned char[static_cast<size_t>(W) * 3];
-  hband = new unsigned char[static_cast<size_t>(band_rows) * out_w * 3];
+  unsigned char* row = new unsigned char[static_cast<size_t>(W) * 3];
+  unsigned char* hband =
+      new unsigned char[static_cast<size_t>(band_rows) * out_w * 3];
+  row_v = row;
+  hband_v = hband;
 
   if (src_lo > 0) jpeg_skip_scanlines(&cinfo, src_lo);
   for (int sy = 0; sy < band_rows; ++sy) {

@@ -57,6 +57,7 @@ def _get_lib() -> Optional[ctypes.CDLL]:
                 lib.decode_crop_normalize.argtypes = [
                     ctypes.c_char_p, ctypes.c_long,
                     ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int,
                     ctypes.POINTER(ctypes.c_float),
                     ctypes.POINTER(ctypes.c_float),
                     ctypes.POINTER(ctypes.c_float),
@@ -65,6 +66,7 @@ def _get_lib() -> Optional[ctypes.CDLL]:
                 lib.decode_crop_u8.argtypes = [
                     ctypes.c_char_p, ctypes.c_long,
                     ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int,
                     ctypes.POINTER(ctypes.c_ubyte),
                 ]
                 lib.jpeg_dims.restype = ctypes.c_int
@@ -109,17 +111,26 @@ def jpeg_dims(data: bytes) -> Tuple[int, int]:
     return w.value, h.value
 
 
-def decode_crop_u8(data: bytes, crop: Tuple[int, int, int, int]) -> np.ndarray:
+def decode_crop_u8(data: bytes, crop: Tuple[int, int, int, int],
+                   expected_dims: Optional[Tuple[int, int]] = None
+                   ) -> np.ndarray:
     """JPEG bytes + crop box -> uint8 CHW array (3, b-t, r-l) — the
-    normalize-on-device path (4x smaller host->device transfer)."""
+    normalize-on-device path (4x smaller host->device transfer).
+
+    ``expected_dims`` (w, h): the decoded image must have exactly these
+    dimensions (rc 3 otherwise). The crop-only kernel is PIL-equivalent
+    only when the on-disk image already matches the configured size —
+    callers pass the configured dims so a mismatched file falls back to a
+    resizing path instead of silently cropping unresized pixels."""
     lib = _get_lib()
     if lib is None:
         raise RuntimeError("fastimage unavailable")
     left, top, right, bottom = crop
+    ew, eh = expected_dims if expected_dims is not None else (-1, -1)
     out_w, out_h = right - left, bottom - top
     out = np.empty((3, out_h, out_w), dtype=np.uint8)
     rc = lib.decode_crop_u8(
-        data, len(data), left, top, out_w, out_h,
+        data, len(data), left, top, out_w, out_h, ew, eh,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
     if rc != 0:
         raise ValueError(f"decode_crop_u8 failed (rc={rc})")
@@ -169,18 +180,21 @@ def decode_resize_crop_normalize(data: bytes, resize_dims: Tuple[int, int],
     return out
 
 
-def decode_crop_normalize(data: bytes, crop: Tuple[int, int, int, int]
+def decode_crop_normalize(data: bytes, crop: Tuple[int, int, int, int],
+                          expected_dims: Optional[Tuple[int, int]] = None
                           ) -> np.ndarray:
     """JPEG bytes + PIL-style crop box (l, t, r, b) -> normalized float32
-    CHW array (3, b-t, r-l). Raises on bad input (caller falls back)."""
+    CHW array (3, b-t, r-l). Raises on bad input (caller falls back).
+    ``expected_dims`` as in :func:`decode_crop_u8`."""
     lib = _get_lib()
     if lib is None:
         raise RuntimeError("fastimage unavailable")
     left, top, right, bottom = crop
+    ew, eh = expected_dims if expected_dims is not None else (-1, -1)
     out_w, out_h = right - left, bottom - top
     out = np.empty((3, out_h, out_w), dtype=np.float32)
     rc = lib.decode_crop_normalize(
-        data, len(data), left, top, out_w, out_h,
+        data, len(data), left, top, out_w, out_h, ew, eh,
         _MEAN.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         _INV_STD.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))

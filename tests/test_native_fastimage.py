@@ -137,3 +137,43 @@ def test_dataset_native_rotation_falls_back(tmp_path, rng):
     np.random.seed(7)
     b = ds_pil[0]
     np.testing.assert_allclose(a[0], b[0], atol=1e-6)
+
+
+def test_expected_dims_mismatch_raises(rng):
+    """Crop-only kernel must reject files whose decoded size differs from
+    the configured dims (rc 3) — those need a resize first, and silently
+    cropping the unresized image would train on wrong pixels."""
+    from lss_carla_tpu.native import decode_crop_u8
+    data = _jpeg_bytes(rng, W=960, H=448)  # 2x the configured size
+    crop = (64, 96, 416, 224)
+    with pytest.raises(ValueError, match="rc=3"):
+        decode_crop_normalize(data, crop, expected_dims=(480, 224))
+    with pytest.raises(ValueError, match="rc=3"):
+        decode_crop_u8(data, crop, expected_dims=(480, 224))
+    # matching dims still succeed
+    ok = decode_crop_normalize(_jpeg_bytes(rng), crop,
+                               expected_dims=(480, 224))
+    assert ok.shape == (3, 128, 352)
+
+
+def test_degenerate_crop_raises_not_crashes(rng):
+    """Zero-area crops must error (rc 2), not under/overflow buffers."""
+    from lss_carla_tpu.native import (decode_crop_u8, decode_resize_crop_u8)
+    data = _jpeg_bytes(rng)
+    for bad in [(10, 10, 10, 50), (10, 10, 50, 10)]:  # zero w / zero h
+        with pytest.raises(ValueError):
+            decode_crop_u8(data, bad)
+        with pytest.raises(ValueError):
+            decode_resize_crop_u8(data, (480, 224), bad)
+
+
+def test_truncated_jpeg_is_lenient_like_pil(rng):
+    """A valid header with a truncated body DECODES (libjpeg's memory
+    source inserts a fake EOI and pads — a warning, not error_exit), same
+    as PIL with LOAD_TRUNCATED_IMAGES. The fatal longjmp path (covered by
+    test_bad_jpeg_raises) only fires on undecodable headers/markers."""
+    from lss_carla_tpu.native import decode_resize_crop_u8
+    data = _jpeg_bytes(rng)
+    truncated = data[: len(data) // 3]
+    out = decode_resize_crop_u8(truncated, (400, 200), (0, 0, 100, 50))
+    assert out.shape == (3, 50, 100)
