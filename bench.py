@@ -177,20 +177,27 @@ def main():
     p.add_argument("--splat_method", default="scatter",
                    choices=["scatter", "sorted", "pallas"])
     # bf16 is the shipping TPU training configuration (params/BN stats/loss
-    # stay f32); use --dtype float32 for reference-parity timing
-    p.add_argument("--dtype", default="bfloat16",
+    # stay f32); use --mode step --dtype float32 for reference-parity
+    # timing alone. --mode all always emits BOTH dtypes, so it rejects an
+    # explicit --dtype rather than silently ignoring it.
+    p.add_argument("--dtype", default=None,
                    choices=["float32", "bfloat16"])
     p.add_argument("--mode", default="all",
                    choices=["all", "step", "input", "infer"])
     p.add_argument("--remat", action="store_true")
     args = p.parse_args()
 
+    if args.mode == "all" and args.dtype is not None:
+        p.error("--mode all always emits both dtypes; use --mode step or "
+                "--mode infer with --dtype for a single-dtype timing")
+    dtype = args.dtype or "bfloat16"
+
     if args.mode == "input":
         bench_input(args.bsz, max(1, args.iters // 5))
     elif args.mode == "infer":
-        bench_infer(args.bsz, args.iters, args.dtype)
+        bench_infer(args.bsz, args.iters, dtype)
     elif args.mode == "step":
-        bench_step(args.bsz, args.iters, args.splat_method, args.dtype,
+        bench_step(args.bsz, args.iters, args.splat_method, dtype,
                    args.remat)
     else:  # all: f32 step (reference-parity dtype), inference, and the
         # headline bf16 step LAST so single-line consumers see the headline

@@ -58,9 +58,12 @@ def main():
     it = iter(dl)
     batch = None
     for si in range(args.samples):
-        batch = next(it, batch)
-        if batch is None:
-            break
+        nxt = next(it, None)
+        if nxt is None:
+            if batch is None:
+                raise SystemExit("dataset is empty — nothing to check")
+            break  # fewer batches than --samples: stop, don't re-count
+        batch = nxt
         gt = np.asarray(batch[6][0, 0])
         ii, jj = np.nonzero(gt > 0.5)  # dim0 = ego X (fwd), dim1 = ego Y
         if len(ii) == 0:

@@ -53,6 +53,15 @@ class DataLoader:
         """
         if drop_last and pad_last:
             raise ValueError("drop_last and pad_last are mutually exclusive")
+        if (num_shards > 1 and not (drop_last or pad_last)
+                and len(dataset) % (batch_size * num_shards) != 0):
+            # without equalization, per-host batch counts differ — the
+            # surplus step deadlocks the first cross-host collective
+            raise ValueError(
+                f"len(dataset)={len(dataset)} is not a multiple of "
+                f"batch_size*num_shards={batch_size * num_shards}; pass "
+                "drop_last or pad_last so every host yields the same batch "
+                "count per epoch")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle

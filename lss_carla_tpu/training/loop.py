@@ -288,7 +288,7 @@ def train(
             if counter % 10 == 0:
                 logger.scalars(counter, **{
                     "train/loss": float(metrics["loss"])})
-            if counter % iou_log_step == 0:
+            if iou_log_step and counter % iou_log_step == 0:
                 union = float(metrics["union"])
                 iou = float(metrics["intersect"]) / union if union > 0 else 1.0
                 logger.scalars(counter, **{

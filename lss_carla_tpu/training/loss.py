@@ -11,14 +11,22 @@ import jax
 import jax.numpy as jnp
 
 
+def _bce_elementwise(logits: jnp.ndarray, targets: jnp.ndarray,
+                     pos_weight: float) -> jnp.ndarray:
+    """Weighted BCE per element, f32 (torch BCEWithLogitsLoss semantics).
+
+    The single source of the elementwise formula — both the train loss and
+    the masked validation metrics call this, so they can't desynchronize."""
+    logits = logits.astype(jnp.float32)
+    targets = targets.astype(jnp.float32)
+    return (pos_weight * targets * jax.nn.softplus(-logits)
+            + (1.0 - targets) * jax.nn.softplus(logits))
+
+
 def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray,
                     pos_weight: float = 1.0) -> jnp.ndarray:
     """Elementwise-mean weighted binary cross entropy on raw logits."""
-    logits = logits.astype(jnp.float32)
-    targets = targets.astype(jnp.float32)
-    loss = (pos_weight * targets * jax.nn.softplus(-logits)
-            + (1.0 - targets) * jax.nn.softplus(logits))
-    return jnp.mean(loss)
+    return jnp.mean(_bce_elementwise(logits, targets, pos_weight))
 
 
 class SimpleLoss:
@@ -57,8 +65,7 @@ def masked_eval_metrics(logits: jnp.ndarray, targets: jnp.ndarray,
     targets = targets.astype(jnp.float32)
     valid = valid.astype(jnp.float32)
     B = logits.shape[0]
-    elem = (pos_weight * targets * jax.nn.softplus(-logits)
-            + (1.0 - targets) * jax.nn.softplus(logits))
+    elem = _bce_elementwise(logits, targets, pos_weight)
     per_sample_loss = jnp.mean(elem.reshape(B, -1), axis=1)
     pred = (logits > 0).reshape(B, -1)
     tgt = targets.astype(bool).reshape(B, -1)

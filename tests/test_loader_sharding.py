@@ -1,6 +1,7 @@
 """Multi-host input-sharding semantics of the DataLoader."""
 
 import numpy as np
+import pytest
 
 from lss_carla_tpu.data.loader import DataLoader
 
@@ -144,3 +145,17 @@ def test_prefetch_multi_epoch_slow_consumer():
             time.sleep(0.02)  # slow consumer -> queue full at epoch end
             n += 1
         assert n == 4
+
+
+def test_sharded_without_equalization_rejected():
+    """num_shards>1 with a non-divisible dataset and neither drop_last nor
+    pad_last would make hosts disagree on batch count (collective
+    deadlock) — the constructor must reject it."""
+    ds = _FakeDataset(9)
+    with pytest.raises(ValueError, match="drop_last or pad_last"):
+        DataLoader(ds, batch_size=4, shuffle=False, num_workers=0,
+                   shard_index=0, num_shards=2)
+    # exact multiple stays allowed (every host yields the same count)
+    dl = DataLoader(_FakeDataset(16), batch_size=4, shuffle=False,
+                    num_workers=0, shard_index=0, num_shards=2)
+    assert len(dl) == 2
