@@ -221,9 +221,8 @@ class SimBEVDataset:
                     if not getattr(self, "_native_fallback_warned", False):
                         # a systematic kernel failure would otherwise
                         # silently halve loader throughput — surface the
-                        # first occurrence (e.g. rc=2 crop outside the
-                        # resized image when resize_lim dips below
-                        # final_dim/dims, rc=3 unexpected file size)
+                        # first occurrence (e.g. rc=3 on-disk size differing
+                        # from the configured dims, rc=1 undecodable file)
                         self._native_fallback_warned = True
                         print(f"fastimage fallback to PIL: {e!r} "
                               f"({img_path.name}; further falls are "

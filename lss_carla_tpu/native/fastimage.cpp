@@ -209,7 +209,10 @@ inline float bicubic(float x) {  // Catmull-Rom, a = -0.5 (PIL BICUBIC)
 // Precompute resampling taps mapping out pixels [out_lo, out_lo+out_n) of a
 // virtual resized axis of length out_total, from a source axis of length
 // in_total. PIL convention: center = (i + 0.5) * in/out; support scales by
-// max(1, in/out).
+// max(1, in/out). Crop coordinates outside [0, out_total) get zero taps —
+// PIL's crop() zero-pads beyond the image, and a zero tap count makes the
+// resample passes emit exactly 0 there (then normalize maps it like any
+// black pixel, matching the PIL fallback bit for bit).
 Taps make_taps(int in_total, int out_total, int out_lo, int out_n) {
   const float scale = static_cast<float>(in_total) / out_total;
   const float filterscale = scale < 1.0f ? 1.0f : scale;
@@ -221,6 +224,12 @@ Taps make_taps(int in_total, int out_total, int out_lo, int out_n) {
   t.weight = new float[static_cast<size_t>(out_n) * max_taps]();
   t.max_taps = max_taps;
   for (int i = 0; i < out_n; ++i) {
+    const int v = out_lo + i;  // virtual resized coordinate
+    if (v < 0 || v >= out_total) {
+      t.first[i] = 0;
+      t.count[i] = 0;  // zero-pad region (PIL crop outside the image)
+      continue;
+    }
     const float center = (out_lo + i + 0.5f) * scale;
     int lo = static_cast<int>(center - support + 0.5f);
     int hi = static_cast<int>(center + support + 0.5f);
@@ -289,9 +298,9 @@ int decode_resize_crop_core(const unsigned char* data, long len,
   jpeg_start_decompress(&cinfo);
   const int W = cinfo.output_width;
   const int H = cinfo.output_height;
+  // the crop box MAY extend beyond [0, rw) x [0, rh): PIL's crop()
+  // zero-pads those regions and the taps do the same here (see make_taps)
   if (rw <= 0 || rh <= 0 || out_w <= 0 || out_h <= 0 ||
-      crop_x < 0 || crop_y < 0 ||
-      crop_x + out_w > rw || crop_y + out_h > rh ||
       cinfo.output_components != 3) {
     jpeg_abort_decompress(&cinfo);
     jpeg_destroy_decompress(&cinfo);
@@ -307,11 +316,17 @@ int decode_resize_crop_core(const unsigned char* data, long len,
   taps_floats[0] = tx.weight;
   taps_floats[1] = ty.weight;
 
-  // source row window needed across all output rows
+  // source row window needed across all output rows (zero-tap pad rows
+  // contribute nothing; a fully-out-of-range crop needs no decode at all)
   int src_lo = H, src_hi = 0;
   for (int y = 0; y < out_h; ++y) {
+    if (ty.count[y] == 0) continue;
     if (ty.first[y] < src_lo) src_lo = ty.first[y];
     if (ty.first[y] + ty.count[y] > src_hi) src_hi = ty.first[y] + ty.count[y];
+  }
+  if (src_hi < src_lo) {
+    src_lo = 0;
+    src_hi = 0;
   }
   const int band_rows = src_hi - src_lo;
 

@@ -141,8 +141,9 @@ def decode_resize_crop_u8(data: bytes, resize_dims: Tuple[int, int],
                           crop: Tuple[int, int, int, int],
                           flip: bool = False) -> np.ndarray:
     """JPEG bytes -> PIL-convention bicubic resize to ``resize_dims``
-    (w, h) -> crop (l, t, r, b in resized coords) -> optional horizontal
-    flip -> uint8 CHW array."""
+    (w, h) -> crop (l, t, r, b in resized coords; may overhang the image —
+    the overhang is zero-padded exactly like PIL's ``crop``) -> optional
+    horizontal flip -> uint8 CHW array."""
     lib = _get_lib()
     if lib is None:
         raise RuntimeError("fastimage unavailable")

@@ -177,3 +177,35 @@ def test_truncated_jpeg_is_lenient_like_pil(rng):
     truncated = data[: len(data) // 3]
     out = decode_resize_crop_u8(truncated, (400, 200), (0, 0, 100, 50))
     assert out.shape == (3, 50, 100)
+
+
+def test_out_of_bounds_crop_matches_pil_zero_padding(rng):
+    """PIL's crop() zero-pads beyond the resized image; the fused kernel
+    must match — this is the documented scale-robust recipe's path
+    (resize_lim dipping below final_dim/dims makes crops overhang)."""
+    from lss_carla_tpu.native import (decode_resize_crop_normalize,
+                                      decode_resize_crop_u8)
+    data = _jpeg_bytes(rng)  # 480x224
+    resize_dims = (336, 157)  # scale 0.70: narrower than the 352-wide crop
+    for crop in [(-8, -3, 344, 154),    # overhang on all four sides
+                 (-16, 29, 336, 157),   # left pad only
+                 (0, 0, 352, 128),      # right/bottom overhang
+                 (400, 200, 500, 250)]:  # fully outside
+        pil = Image.open(io.BytesIO(data)).resize(resize_dims).crop(crop)
+        want_u8 = np.asarray(pil.convert("RGB")).transpose(2, 0, 1)
+        got_u8 = decode_resize_crop_u8(data, resize_dims, crop)
+        assert got_u8.shape == want_u8.shape
+        diff = np.abs(got_u8.astype(int) - want_u8.astype(int))
+        assert diff.max() <= 1, f"crop={crop} max diff {diff.max()}"
+        # float path: normalized like any black pixel
+        want_f = normalize_img(
+            np.asarray(pil.convert("RGB"))).transpose(2, 0, 1)
+        got_f = decode_resize_crop_normalize(data, resize_dims, crop)
+        np.testing.assert_allclose(got_f, want_f, atol=1.01 / 255 * 5)
+        # flip composes with the padding exactly like PIL
+        from PIL import Image as _I
+        pil_f = pil.transpose(_I.FLIP_LEFT_RIGHT)
+        got_flip = decode_resize_crop_u8(data, resize_dims, crop, flip=True)
+        diff = np.abs(got_flip.astype(int) - np.asarray(
+            pil_f.convert("RGB")).transpose(2, 0, 1).astype(int))
+        assert diff.max() <= 1
