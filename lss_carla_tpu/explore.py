@@ -261,13 +261,14 @@ if __name__ == "__main__":
         sp.add_argument("--best", action="store_true",
                         help="restore the best-by-val-IoU checkpoint")
         sp.add_argument("--bsz", type=int, default=2)
-        if name == "viz_model_preds":
+        if name in ("viz_model_preds", "eval_model_iou"):
             sp.add_argument("--dataset", default="simbev",
                             choices=("simbev", "nuscenes"))
+            sp.add_argument("--version", default="v1.0-mini")
+        if name == "viz_model_preds":
             sp.add_argument("--map_folder", default=None,
                             help="nuScenes map-expansion folder for the "
                                  "static-map underlay")
-            sp.add_argument("--version", default="v1.0-mini")
     a = p.parse_args()
     kwargs = {}
     if a.dataroot is not None:
@@ -278,6 +279,8 @@ if __name__ == "__main__":
     if a.cmd == "viz_model_preds":
         kwargs.update(dataset=a.dataset, map_folder=a.map_folder,
                       version=a.version)
+    elif a.cmd == "eval_model_iou":
+        kwargs.update(dataset=a.dataset, version=a.version)
     if a.cmd in ("splat_check", "lidar_check"):
         kwargs.pop("best", None)
     globals()[a.cmd](bsz=a.bsz, **kwargs)

@@ -5,7 +5,8 @@ re-exports the equivalents so the framework is a drop-in replacement:
 
     gen_dx_bx, get_rot, img_transform, normalize_img, denormalize_img,
     ego_to_cam, cam_to_ego, get_only_in_img_mask,
-    SimpleLoss, get_batch_iou, get_val_info, add_ego
+    SimpleLoss, get_batch_iou, get_val_info, add_ego,
+    get_nusc_maps, get_local_map, plot_nusc_map
 
 The cumsum machinery (``cumsum_trick``/``QuickCumsum``) has no direct
 equivalent by design — its functional contract (sum features per voxel with
@@ -23,6 +24,8 @@ from lss_carla_tpu.ops.geometry import (  # noqa: F401
     cam_to_ego, ego_to_cam, gen_dx_bx, get_only_in_img_mask, get_rot)
 from lss_carla_tpu.ops.image import (  # noqa: F401
     denormalize_img, normalize_img)
+from lss_carla_tpu.data.nusc_maps import (  # noqa: F401
+    get_local_map, get_nusc_maps, plot_nusc_map)
 from lss_carla_tpu.ops.splat import splat_scatter_add  # noqa: F401
 from lss_carla_tpu.training.loss import (  # noqa: F401
     SimpleLoss, get_batch_iou)

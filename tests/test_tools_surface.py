@@ -1,6 +1,6 @@
 """The reference-parity symbol surface (``lss_carla_tpu.tools``) must expose
-every public name the reference's ``src/tools.py`` exports (minus the
-nuScenes-devkit map helpers, which are out of scope for SimBEV)."""
+every public name the reference's ``src/tools.py`` exports, including the
+map helpers (devkit-free equivalents in ``data.nusc_maps``)."""
 
 import numpy as np
 
@@ -10,7 +10,8 @@ def test_reference_symbols_importable():
     for name in ("gen_dx_bx", "get_rot", "img_transform", "normalize_img",
                  "denormalize_img", "ego_to_cam", "cam_to_ego",
                  "get_only_in_img_mask", "SimpleLoss", "get_batch_iou",
-                 "get_val_info", "add_ego", "cumsum_trick", "quick_cumsum"):
+                 "get_val_info", "add_ego", "cumsum_trick", "quick_cumsum",
+                 "get_nusc_maps", "get_local_map", "plot_nusc_map"):
         assert hasattr(tools, name), name
 
 
