@@ -87,6 +87,25 @@ def generate_nuscenes_fixture(root, num_scenes: int = 3,
             "rotation": rot_to_quat(_cam_rot(CAM_YAWS[cam])),
             "camera_intrinsic": intrin,
         })
+    sensors.append({"token": "sensor_LIDAR_TOP", "channel": "LIDAR_TOP",
+                    "modality": "lidar"})
+    lidar_t = np.array([0.9, 0.0, 1.84])
+    calibs.append({"token": "calib_LIDAR_TOP",
+                   "sensor_token": "sensor_LIDAR_TOP",
+                   "translation": lidar_t.tolist(),
+                   "rotation": _yaw_quat(0.0),
+                   "camera_intrinsic": []})
+
+    def _write_sweep(path, world_pts, ego_t, ego_R):
+        """World points -> this pose's sensor frame -> .pcd.bin records."""
+        in_ego = (ego_R.T @ (world_pts - ego_t).T).T
+        in_sensor = in_ego - lidar_t  # lidar rotation is identity
+        rec = np.zeros((len(in_sensor), 5), np.float32)
+        rec[:, :3] = in_sensor
+        rec[:, 3] = 0.5  # intensity
+        rec[:, 4] = np.arange(len(in_sensor)) % 32  # ring
+        path.parent.mkdir(parents=True, exist_ok=True)
+        rec.tofile(path)
 
     inst_counter = 0
     for s in range(num_scenes):
@@ -171,6 +190,44 @@ def generate_nuscenes_fixture(root, num_scenes: int = 3,
                     "fileformat": "jpg",
                     "is_key_frame": True,
                 })
+
+            # LIDAR_TOP: a key-frame sweep + one earlier sweep from a
+            # shifted ego pose seeing the SAME world points (so nsweeps=2
+            # aggregation must align them exactly — exercises the
+            # ego-motion compensation in get_lidar_data)
+            ts = 1_000_000 * (s * 100 + k)
+            ring_th = np.linspace(0, 2 * np.pi, 48, endpoint=False)
+            world_pts = np.stack([
+                ego_t[0] + 15.0 * np.cos(ring_th),
+                ego_t[1] + 15.0 * np.sin(ring_th),
+                np.full_like(ring_th, 0.5)], axis=1)
+            rel = f"sweeps/LIDAR_TOP/{tok}.pcd.bin"
+            _write_sweep(root / rel, world_pts, ego_t, ego_R)
+            prev_yaw = ego_yaw + 0.05
+            prev_t = ego_t + ego_R @ np.array([-1.5, 0.2, 0.0])
+            prev_R = quat_to_rot(_yaw_quat(prev_yaw))
+            ego_poses.append({"token": f"pose_{tok}_sweep",
+                              "translation": prev_t.tolist(),
+                              "rotation": _yaw_quat(prev_yaw),
+                              "timestamp": ts - 100_000})
+            rel_prev = f"sweeps/LIDAR_TOP/{tok}_prev.pcd.bin"
+            _write_sweep(root / rel_prev, world_pts, prev_t, prev_R)
+            sample_datas.append({
+                "token": f"sd_{tok}_LIDAR_prev", "sample_token": tok,
+                "ego_pose_token": f"pose_{tok}_sweep",
+                "calibrated_sensor_token": "calib_LIDAR_TOP",
+                "filename": rel_prev, "fileformat": "pcd.bin",
+                "is_key_frame": False, "timestamp": ts - 100_000,
+                "prev": "",
+            })
+            sample_datas.append({
+                "token": f"sd_{tok}_LIDAR_TOP", "sample_token": tok,
+                "ego_pose_token": pose_tok,
+                "calibrated_sensor_token": "calib_LIDAR_TOP",
+                "filename": rel, "fileformat": "pcd.bin",
+                "is_key_frame": True, "timestamp": ts,
+                "prev": f"sd_{tok}_LIDAR_prev",
+            })
 
     logs = [{"token": "log_0", "location": map_name}]
     for sc in scenes:

@@ -84,7 +84,10 @@ class NuScenesTables:
 
         # index: sample_token -> {channel: sample_data record} (key frames)
         self.cam_data: Dict[str, Dict[str, dict]] = {}
+        self.sample_data_by_token: Dict[str, dict] = {}
         for sd in self.sample_data:
+            if "token" in sd:
+                self.sample_data_by_token[sd["token"]] = sd
             if not sd.get("is_key_frame", True):
                 continue
             cs = self.calibrated_sensor[sd["calibrated_sensor_token"]]
@@ -109,6 +112,66 @@ class NuScenesTables:
             log = self.log.get(sc.get("log_token", ""), {})
             out[sc["name"]] = log.get("location", "boston-seaport")
         return out
+
+
+def _pose_matrix(translation, rotation_quat, inverse: bool = False
+                 ) -> np.ndarray:
+    """4x4 homogeneous transform from translation + wxyz quaternion."""
+    R = quat_to_rot(rotation_quat)
+    t = np.asarray(translation, dtype=np.float64)
+    m = np.eye(4)
+    if inverse:
+        m[:3, :3] = R.T
+        m[:3, 3] = -R.T @ t
+    else:
+        m[:3, :3] = R
+        m[:3, 3] = t
+    return m
+
+
+def get_lidar_data(tables: "NuScenesTables", dataroot, sample_token: str,
+                   nsweeps: int = 1, min_distance: float = 2.2
+                   ) -> np.ndarray:
+    """At most ``nsweeps`` of LIDAR_TOP in the key frame's ego frame —
+    the reference's ``get_lidar_data`` (``src/tools.py:23-77``) without the
+    nuscenes-devkit: ``.pcd.bin`` sweeps are read directly (float32
+    ``x,y,z,intensity,ring`` records), close points dropped, each sweep
+    mapped sensor→ego(t)→global→ego(t_ref) with the table poses, and a dt
+    row appended. Returns ``(5, N)``: x, y, z, reflectance, dt.
+    """
+    dataroot = Path(dataroot)
+    ref_sd = tables.cam_data[sample_token]["LIDAR_TOP"]
+    ref_pose = tables.ego_pose[ref_sd["ego_pose_token"]]
+    ref_time = 1e-6 * ref_sd.get("timestamp", 0)
+    car_from_global = _pose_matrix(ref_pose["translation"],
+                                   ref_pose["rotation"], inverse=True)
+
+    points = np.zeros((5, 0))
+    sd = ref_sd
+    for _ in range(nsweeps):
+        raw = np.fromfile(dataroot / sd["filename"], dtype=np.float32)
+        pc = raw.reshape(-1, 5)[:, :4].T.astype(np.float64)  # drop ring
+        close = (np.abs(pc[0]) < min_distance) & \
+                (np.abs(pc[1]) < min_distance)
+        pc = pc[:, ~close]
+
+        pose = tables.ego_pose[sd["ego_pose_token"]]
+        cs = tables.calibrated_sensor[sd["calibrated_sensor_token"]]
+        trans = (car_from_global
+                 @ _pose_matrix(pose["translation"], pose["rotation"])
+                 @ _pose_matrix(cs["translation"], cs["rotation"]))
+        xyz1 = np.vstack([pc[:3], np.ones((1, pc.shape[1]))])
+        pc[:3] = (trans @ xyz1)[:3]
+
+        dt = ref_time - 1e-6 * sd.get("timestamp", 0)
+        points = np.concatenate(
+            [points, np.vstack([pc, np.full((1, pc.shape[1]), dt)])], axis=1)
+
+        prev = sd.get("prev", "")
+        if not prev or prev not in tables.sample_data_by_token:
+            break
+        sd = tables.sample_data_by_token[prev]
+    return points
 
 
 class NuScenesDataset:

@@ -6,7 +6,7 @@ re-exports the equivalents so the framework is a drop-in replacement:
     gen_dx_bx, get_rot, img_transform, normalize_img, denormalize_img,
     ego_to_cam, cam_to_ego, get_only_in_img_mask,
     SimpleLoss, get_batch_iou, get_val_info, add_ego,
-    get_nusc_maps, get_local_map, plot_nusc_map
+    get_nusc_maps, get_local_map, plot_nusc_map, get_lidar_data
 
 The cumsum machinery (``cumsum_trick``/``QuickCumsum``) has no direct
 equivalent by design — its functional contract (sum features per voxel with
@@ -26,6 +26,7 @@ from lss_carla_tpu.ops.image import (  # noqa: F401
     denormalize_img, normalize_img)
 from lss_carla_tpu.data.nusc_maps import (  # noqa: F401
     get_local_map, get_nusc_maps, plot_nusc_map)
+from lss_carla_tpu.data.nuscenes import get_lidar_data  # noqa: F401
 from lss_carla_tpu.ops.splat import splat_scatter_add  # noqa: F401
 from lss_carla_tpu.training.loss import (  # noqa: F401
     SimpleLoss, get_batch_iou)

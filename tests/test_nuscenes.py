@@ -109,3 +109,35 @@ def test_train_e2e_on_nuscenes(nusc_root, tmp_path):
               logdir=str(tmp_path / "run"), n_devices=1,
               dataset="nuscenes")
     assert r["counter"] == 2
+
+
+def test_get_lidar_data_single_and_multisweep(nusc_root):
+    """Devkit-free get_lidar_data (reference tools.py:23-77): (5, N) rows
+    x,y,z,reflectance,dt in the key frame's ego frame; multi-sweep
+    aggregation must ego-motion-compensate the older sweep so the same
+    world points land at identical ego coordinates."""
+    from lss_carla_tpu.data.nuscenes import NuScenesTables, get_lidar_data
+    t = NuScenesTables(nusc_root)
+    tok = next(iter(t.cam_data))
+    one = get_lidar_data(t, nusc_root, tok, nsweeps=1)
+    assert one.shape[0] == 5 and one.shape[1] == 48
+    # fixture points: a radius-15 ring around the ego at world z=0.5 ->
+    # ego-frame ranges ~15 in xy
+    r = np.hypot(one[0], one[1])
+    np.testing.assert_allclose(r, 15.0, atol=1e-6)
+    assert np.all(one[4] == 0.0)  # key frame dt = 0
+
+    two = get_lidar_data(t, nusc_root, tok, nsweeps=2)
+    assert two.shape[1] == 96
+    # the older sweep saw the SAME world points from a moved pose: after
+    # compensation both halves coincide (sorted by angle)
+    a, b = two[:3, :48], two[:3, 48:]
+    key = np.argsort(np.arctan2(a[1], a[0]))
+    key_b = np.argsort(np.arctan2(b[1], b[0]))
+    np.testing.assert_allclose(a[:, key], b[:, key_b], atol=1e-9)
+    np.testing.assert_allclose(two[4, 48:], 0.1, atol=1e-9)  # 100 ms older
+
+    # min_distance drops close points
+    none_left = get_lidar_data(t, nusc_root, tok, nsweeps=1,
+                               min_distance=20.0)
+    assert none_left.shape[1] == 0

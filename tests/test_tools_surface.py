@@ -11,7 +11,8 @@ def test_reference_symbols_importable():
                  "denormalize_img", "ego_to_cam", "cam_to_ego",
                  "get_only_in_img_mask", "SimpleLoss", "get_batch_iou",
                  "get_val_info", "add_ego", "cumsum_trick", "quick_cumsum",
-                 "get_nusc_maps", "get_local_map", "plot_nusc_map"):
+                 "get_nusc_maps", "get_local_map", "plot_nusc_map",
+                 "get_lidar_data"):
         assert hasattr(tools, name), name
 
 
