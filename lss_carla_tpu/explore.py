@@ -210,13 +210,23 @@ def splat_check(dataroot=None, bsz=2, **kw):
 
 
 def lidar_check(dataroot, outdir="./viz_outputs", H=224, W=480,
-                final_dim=(128, 352), **kw):
-    """Project each camera's frustum into the BEV plane (geometry sanity).
+                final_dim=(128, 352), dataset: str = "simbev",
+                version: str = "v1.0-mini", max_samples: int = 2,
+                nsweeps: int = 3, **kw):
+    """Geometry sanity viz (reference ``explore.py:21-116``).
 
-    Model-free: only the loader and the frustum geometry are exercised."""
+    SimBEV mode (model-free): project each camera's frustum into the BEV
+    plane. nuScenes mode: per sample, project the real multi-sweep lidar
+    cloud into every (augmented) camera image — depth-colored, via
+    ``ego_to_cam`` + the tracked homography, exactly the reference's
+    panels — plus the lidar BEV scatter and the GT mask."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
+
+    if dataset == "nuscenes":
+        return _lidar_check_nuscenes(dataroot, outdir, H, W, final_dim,
+                                     version, max_samples, nsweeps)
 
     grid_conf = GridConf()
     aug_conf = DataAugConf(H=H, W=W, final_dim=tuple(final_dim))
@@ -249,6 +259,77 @@ def lidar_check(dataroot, outdir="./viz_outputs", H=224, W=480,
     return path
 
 
+def _lidar_check_nuscenes(dataroot, outdir, H, W, final_dim, version,
+                          max_samples, nsweeps):
+    """Reference lidar_check panels (``explore.py:80-116``): six cameras
+    with the depth-colored lidar projection, lidar BEV, GT mask."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from lss_carla_tpu.data.nuscenes import (NUSC_CAMERA_ORDER,
+                                             NuScenesDataset, get_lidar_data)
+    from lss_carla_tpu.ops.geometry import ego_to_cam, get_only_in_img_mask
+    from lss_carla_tpu.ops.image import denormalize_img
+    from lss_carla_tpu.utils.viz import add_ego_box
+
+    grid_conf = GridConf()
+    aug_conf = DataAugConf(H=H, W=W, final_dim=tuple(final_dim))
+    ds = NuScenesDataset(dataroot, False, aug_conf, grid_conf,
+                         version=version)
+    fH, fW = aug_conf.final_dim
+    os.makedirs(outdir, exist_ok=True)
+    paths = []
+    for i in range(min(max_samples, len(ds))):
+        tok = ds.samples[i]
+        imgs, rots, trans, intrins, post_rots, post_trans = \
+            ds.get_image_data(tok, NUSC_CAMERA_ORDER)
+        binimg = ds.get_binimg(tok)
+        pts = get_lidar_data(ds.t, dataroot, tok, nsweeps=nsweeps)
+        xyz = jnp.asarray(pts[:3])
+
+        fig = plt.figure(figsize=(18, 6))
+        gs = fig.add_gridspec(2, 5, width_ratios=(1, 1, 1, 1.2, 1.2))
+        for ci, cam in enumerate(NUSC_CAMERA_ORDER):
+            ax = fig.add_subplot(gs[ci // 3, ci % 3])
+            ax.imshow(denormalize_img(imgs[ci].transpose(1, 2, 0)))
+            cam_pts = np.asarray(ego_to_cam(
+                xyz, jnp.asarray(rots[ci]), jnp.asarray(trans[ci]),
+                jnp.asarray(intrins[ci])))
+            mask = np.array(get_only_in_img_mask(
+                jnp.asarray(cam_pts), H, W))
+            # into augmented-image pixels via the tracked homography
+            plot = post_rots[ci] @ cam_pts + post_trans[ci][:, None]
+            mask &= ((plot[0] > 0) & (plot[0] < fW)
+                     & (plot[1] > 0) & (plot[1] < fH))
+            ax.scatter(plot[0, mask], plot[1, mask], c=cam_pts[2, mask],
+                       s=4, alpha=0.4, cmap="jet")
+            ax.set_title(cam, fontsize=8)
+            ax.axis("off")
+
+        ax = fig.add_subplot(gs[:, 3])
+        ax.scatter(pts[1], pts[0], c=pts[2], vmin=-5, vmax=5, s=4)
+        add_ego_box(ax)
+        ax.set_xlim(-50, 50)
+        ax.set_ylim(-50, 50)
+        ax.set_aspect("equal")
+        ax.set_title("lidar (ego frame)", fontsize=9)
+
+        ax = fig.add_subplot(gs[:, 4])
+        ax.imshow(binimg[0], origin="lower", cmap="Greys", vmin=0, vmax=1,
+                  extent=(grid_conf.ybound[0], grid_conf.ybound[1],
+                          grid_conf.xbound[0], grid_conf.xbound[1]))
+        add_ego_box(ax)
+        ax.set_title("GT vehicles", fontsize=9)
+
+        path = os.path.join(outdir, f"lcheck{i:05d}.png")
+        fig.savefig(path, dpi=110)
+        plt.close(fig)
+        print(path)
+        paths.append(path)
+    return paths
+
+
 if __name__ == "__main__":
     import argparse
     p = argparse.ArgumentParser(description="LSS-TPU eval/viz tools")
@@ -261,7 +342,7 @@ if __name__ == "__main__":
         sp.add_argument("--best", action="store_true",
                         help="restore the best-by-val-IoU checkpoint")
         sp.add_argument("--bsz", type=int, default=2)
-        if name in ("viz_model_preds", "eval_model_iou"):
+        if name in ("viz_model_preds", "eval_model_iou", "lidar_check"):
             sp.add_argument("--dataset", default="simbev",
                             choices=("simbev", "nuscenes"))
             sp.add_argument("--version", default="v1.0-mini")
@@ -283,4 +364,9 @@ if __name__ == "__main__":
         kwargs.update(dataset=a.dataset, version=a.version)
     if a.cmd in ("splat_check", "lidar_check"):
         kwargs.pop("best", None)
-    globals()[a.cmd](bsz=a.bsz, **kwargs)
+    if a.cmd == "lidar_check":
+        kwargs.pop("bsz", None)
+        kwargs.update(dataset=a.dataset, version=a.version)
+        globals()[a.cmd](**kwargs)
+    else:
+        globals()[a.cmd](bsz=a.bsz, **kwargs)

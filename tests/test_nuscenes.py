@@ -1,5 +1,6 @@
 """Devkit-free nuScenes data path: tables, geometry, labels, loaders."""
 
+import os
 import numpy as np
 import pytest
 
@@ -141,3 +142,12 @@ def test_get_lidar_data_single_and_multisweep(nusc_root):
     none_left = get_lidar_data(t, nusc_root, tok, nsweeps=1,
                                min_distance=20.0)
     assert none_left.shape[1] == 0
+
+
+def test_lidar_check_nuscenes(nusc_root, tmp_path):
+    """Model-free lidar projection viz (reference explore.py:21-116)."""
+    from lss_carla_tpu.explore import lidar_check
+    paths = lidar_check(nusc_root, outdir=str(tmp_path / "lc"),
+                        dataset="nuscenes", max_samples=1, nsweeps=2,
+                        H=112, W=240, final_dim=(64, 176))
+    assert len(paths) == 1 and os.path.exists(paths[0])
