@@ -27,7 +27,8 @@ import numpy as np
 BASELINE_STEP_MS = 800.0  # 8 samples x ~100 ms/sample (see module docstring)
 
 
-def build(bsz, splat_method="scatter", dtype="float32", remat=False):
+def build(bsz, splat_method="scatter", dtype="float32", remat=False,
+          variant="b0"):
     import jax
     from __graft_entry__ import _enable_compile_cache
     _enable_compile_cache()
@@ -39,7 +40,7 @@ def build(bsz, splat_method="scatter", dtype="float32", remat=False):
 
     model = compile_model(GridConf(), DataAugConf(), outC=1,
                           splat_method=splat_method, compute_dtype=dtype,
-                          remat=remat)
+                          remat=remat, variant=variant)
     rng = np.random.default_rng(0)
     B, N, fH, fW = bsz, 6, 128, 352
     imgs = jnp.asarray(rng.normal(size=(B, N, 3, fH, fW)).astype(np.float32))
@@ -131,11 +132,11 @@ def bench_infer(bsz, iters, dtype):
     }))
 
 
-def bench_step(bsz, iters, splat_method, dtype, remat=False):
+def bench_step(bsz, iters, splat_method, dtype, remat=False, variant="b0"):
     """Chained-in-jit train-step timing; prints its JSON line."""
     import jax
     from lss_carla_tpu.training.step import make_train_step
-    _, state, batch = build(bsz, splat_method, dtype, remat)
+    _, state, batch = build(bsz, splat_method, dtype, remat, variant)
 
     # chain all iterations inside ONE jitted program: a python dispatch loop
     # under-measures on async/remote runtimes even with data dependencies
@@ -161,6 +162,8 @@ def bench_step(bsz, iters, splat_method, dtype, remat=False):
 
     ms = sorted(times)[1] / iters * 1000.0
     suffix = "" if dtype == "float32" else f"_{dtype}"
+    if variant != "b0":
+        suffix += f"_{variant}"
     print(json.dumps({
         "metric": f"train_step_ms_bsz{bsz}{suffix}",
         "value": round(ms, 3),
@@ -185,11 +188,17 @@ def main():
     p.add_argument("--mode", default="all",
                    choices=["all", "step", "input", "infer"])
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--variant", default="b0",
+                   help="camera trunk (b0..b4, resnet18/34); --mode step "
+                        "only — the flagship metrics stay b0")
     args = p.parse_args()
 
     if args.mode == "all" and args.dtype is not None:
         p.error("--mode all always emits both dtypes; use --mode step or "
                 "--mode infer with --dtype for a single-dtype timing")
+    if args.variant != "b0" and args.mode != "step":
+        p.error("--variant only applies to --mode step (flagship metrics "
+                "are measured on the b0 reference config)")
     dtype = args.dtype or "bfloat16"
 
     if args.mode == "input":
@@ -198,7 +207,7 @@ def main():
         bench_infer(args.bsz, args.iters, dtype)
     elif args.mode == "step":
         bench_step(args.bsz, args.iters, args.splat_method, dtype,
-                   args.remat)
+                   args.remat, args.variant)
     else:  # all: f32 step (reference-parity dtype), inference, and the
         # headline bf16 step LAST so single-line consumers see the headline
         bench_step(args.bsz, args.iters, args.splat_method, "float32",

@@ -18,19 +18,25 @@ from flax import linen as nn
 
 from lss_carla_tpu.models.efficientnet import EfficientNetTrunk
 from lss_carla_tpu.models.layers import Dtype, Up
+from lss_carla_tpu.models.resnet import ResNetTrunk
 
 
 class CamEncode(nn.Module):
     D: int          # number of depth bins
     C: int          # lifted feature channels (camC = 64)
-    variant: str = "b0"
+    variant: str = "b0"    # efficientnet b0..b4, or resnet18/resnet34
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         """x: (B*N, fH*ds, fW*ds, 3) images -> (B*N, D, fH, fW, C)."""
-        endpoints = EfficientNetTrunk(self.variant, name="trunk",
-                                      dtype=self.dtype)(x, train)
+        if self.variant.startswith("resnet"):
+            trunk = ResNetTrunk(self.variant, name="trunk",
+                                dtype=self.dtype)
+        else:
+            trunk = EfficientNetTrunk(self.variant, name="trunk",
+                                      dtype=self.dtype)
+        endpoints = trunk(x, train)
         x = Up(512, scale=2, name="up1", dtype=self.dtype)(
             endpoints["reduction_5"], endpoints["reduction_4"], train)
         x = nn.Dropout(0.2)(x, deterministic=not train)

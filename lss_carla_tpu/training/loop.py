@@ -143,7 +143,9 @@ def train(
     print(f"  batch size: {bsz}  (x{n_devices} devices)")
     print(f"  lr: {lr}  epochs: {nepochs}  cams: {ncams}")
     print(f"  image: {H}x{W} -> {tuple(final_dim)}")
-    print(f"  splat: {splat_method}  trunk: efficientnet-{variant}")
+    trunk_name = variant if variant.startswith("resnet") \
+        else f"efficientnet-{variant}"
+    print(f"  splat: {splat_method}  trunk: {trunk_name}")
     print("=" * 80)
 
     if label_mode == "multiclass":
@@ -190,6 +192,10 @@ def train(
     print(f"Number of trainable parameters: {n_params:,}")
 
     if pretrained_trunk is not None:
+        if variant.startswith("resnet"):
+            raise ValueError("--pretrained_trunk imports efficientnet_pytorch "
+                             "weights; no import source exists for the "
+                             "resnet trunk variants")
         # applied before (and overridden by) --resume, like the reference:
         # from_pretrained at model build, checkpoint load afterwards
         from lss_carla_tpu.utils.convert import (merge_trunk_variables,

@@ -81,7 +81,10 @@ def main():
                         help='normalize images on the host (reference '
                              'behavior) instead of in the jitted program')
     parser.add_argument('--variant', type=str, default='b0',
-                        choices=['b0', 'b1', 'b2', 'b3', 'b4'])
+                        choices=['b0', 'b1', 'b2', 'b3', 'b4',
+                                 'resnet18', 'resnet34'],
+                        help='camera trunk: efficientnet (reference parity) '
+                             'or the MXU-friendly resnet alternative')
     parser.add_argument('--max_steps', type=int, default=None)
     parser.add_argument('--profile_dir', type=str, default=None)
     parser.add_argument('--seed', type=int, default=42)
