@@ -189,8 +189,10 @@ def main():
                    choices=["all", "step", "input", "infer"])
     p.add_argument("--remat", action="store_true")
     p.add_argument("--variant", default="b0",
-                   help="camera trunk (b0..b4, resnet18/34); --mode step "
-                        "only — the flagship metrics stay b0")
+                   choices=["b0", "b1", "b2", "b3", "b4",
+                            "resnet18", "resnet34"],
+                   help="camera trunk; --mode step only — the flagship "
+                        "metrics stay b0")
     args = p.parse_args()
 
     if args.mode == "all" and args.dtype is not None:

@@ -111,6 +111,12 @@ def train(
 ):
     """Train LSS on SimBEV. Mirrors the reference CLI surface exactly; extras
     are keyword-only additions."""
+    if pretrained_trunk is not None and variant.startswith("resnet"):
+        # fail fast: decidable from the arguments alone, and model init
+        # further down costs minutes on the TPU backend
+        raise ValueError("--pretrained_trunk imports efficientnet_pytorch "
+                         "weights; no import source exists for the "
+                         "resnet trunk variants")
     from lss_carla_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache()
     os.makedirs(logdir, exist_ok=True)
@@ -192,10 +198,6 @@ def train(
     print(f"Number of trainable parameters: {n_params:,}")
 
     if pretrained_trunk is not None:
-        if variant.startswith("resnet"):
-            raise ValueError("--pretrained_trunk imports efficientnet_pytorch "
-                             "weights; no import source exists for the "
-                             "resnet trunk variants")
         # applied before (and overridden by) --resume, like the reference:
         # from_pretrained at model build, checkpoint load afterwards
         from lss_carla_tpu.utils.convert import (merge_trunk_variables,

@@ -30,20 +30,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def capture(out_dir, dtype, bsz, steps, splat_method):
     import jax
     from bench import build
-    from lss_carla_tpu.training.step import make_train_step
 
-    step, state, batch = build(bsz, splat_method, dtype)
-    raw_step = make_train_step(None, pos_weight=2.13, jit=False)
-    jstep = jax.jit(raw_step, donate_argnums=(0,))
+    # build() returns the step already jitted with donated state
+    jstep, state, batch = build(bsz, splat_method, dtype)
     rng = jax.random.PRNGKey(0)
 
-    state, loss = jstep(state, batch, rng)  # compile + warmup
-    jax.block_until_ready(loss)
+    state, metrics = jstep(state, batch, rng)  # compile + warmup
+    jax.block_until_ready(metrics["loss"])
 
     jax.profiler.start_trace(out_dir)
     for i in range(steps):
-        state, loss = jstep(state, batch, jax.random.fold_in(rng, i))
-    jax.block_until_ready(loss)
+        state, metrics = jstep(state, batch, jax.random.fold_in(rng, i))
+    jax.block_until_ready(metrics["loss"])
     jax.profiler.stop_trace()
 
 
@@ -92,6 +90,11 @@ def parse(out_dir, steps):
         except (TypeError, ValueError):
             pass
 
+    if not per_op:
+        raise SystemExit(
+            f"no device ops matched in {path}: expected an 'XLA Ops' thread "
+            f"on a pid named like /device:TPU:* — profiler plugin naming "
+            f"may have changed (pids seen: {sorted(dev_pids)})")
     rows = []
     for (cat, name), (ms, cnt, long_name, flops, byts) in per_op.items():
         rows.append((ms / steps, cnt, cat, name, long_name, flops / steps,

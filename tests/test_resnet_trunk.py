@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from lss_carla_tpu.models.resnet import RESNET_LAYERS, ResNetTrunk
 from lss_carla_tpu.utils.convert import _conv
+from torch_twin import TorchBasic, randomize_bn_stats
 
 ATOL = 5e-5
 
@@ -47,29 +48,6 @@ def test_endpoint_shapes():
     assert chans == {"reduction_4": 256, "reduction_5": 512}
 
 
-class _TorchBasicBlock(tnn.Module):
-    def __init__(self, cin, cout, stride):
-        super().__init__()
-        self.conv1 = tnn.Conv2d(cin, cout, 3, stride=stride, padding=1,
-                                bias=False)
-        self.bn1 = tnn.BatchNorm2d(cout)
-        self.conv2 = tnn.Conv2d(cout, cout, 3, padding=1, bias=False)
-        self.bn2 = tnn.BatchNorm2d(cout)
-        self.downsample = None
-        if stride != 1 or cin != cout:
-            self.downsample = tnn.Sequential(
-                tnn.Conv2d(cin, cout, 1, stride=stride, bias=False),
-                tnn.BatchNorm2d(cout))
-
-    def forward(self, x):
-        identity = x
-        out = torch.relu(self.bn1(self.conv1(x)))
-        out = self.bn2(self.conv2(out))
-        if self.downsample is not None:
-            identity = self.downsample(x)
-        return torch.relu(out + identity)
-
-
 class _TorchResNetTrunk(tnn.Module):
     """torchvision resnet18 topology up to layer4, harvesting endpoints."""
 
@@ -85,7 +63,7 @@ class _TorchResNetTrunk(tnn.Module):
             blocks = []
             for r in range(reps):
                 stride = 2 if (stage > 0 and r == 0) else 1
-                blocks.append(_TorchBasicBlock(cin, f, stride))
+                blocks.append(TorchBasic(cin, f, stride))
                 cin = f
             self.stages.append(tnn.Sequential(*blocks))
 
@@ -99,21 +77,6 @@ class _TorchResNetTrunk(tnn.Module):
             elif i == 3:
                 outs["reduction_5"] = x
         return outs
-
-
-def _randomize_bn(mod, rng):
-    for m in mod.modules():
-        if isinstance(m, tnn.BatchNorm2d):
-            with torch.no_grad():
-                m.weight.copy_(torch.from_numpy(
-                    rng.uniform(0.5, 1.5, m.weight.shape).astype(np.float32)))
-                m.bias.copy_(torch.from_numpy(
-                    rng.normal(size=m.bias.shape).astype(np.float32) * 0.1))
-                m.running_mean.copy_(torch.from_numpy(
-                    rng.normal(size=m.running_mean.shape).astype(np.float32)))
-                m.running_var.copy_(torch.from_numpy(
-                    rng.uniform(0.5, 2.0, m.running_var.shape)
-                    .astype(np.float32)))
 
 
 def _convbn(conv_t, bn_t):
@@ -158,7 +121,7 @@ def _transplant(t: _TorchResNetTrunk, layers):
 def test_resnet18_trunk_torch_parity(rng):
     layers = RESNET_LAYERS["resnet18"]
     t = _TorchResNetTrunk(layers)
-    _randomize_bn(t, rng)
+    randomize_bn_stats(t, rng, affine=True)
     x = rng.normal(size=(2, 3, 64, 96)).astype(np.float32)
     with torch.no_grad():
         t.eval()

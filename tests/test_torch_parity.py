@@ -163,34 +163,10 @@ def test_up_block_parity(rng):
     np.testing.assert_allclose(_from_nhwc(got), want, atol=5e-5)
 
 
-class _TorchBasicBlock(tnn.Module):
-    """torchvision-style BasicBlock built from primitives."""
-
-    def __init__(self, cin, cout, stride):
-        super().__init__()
-        self.conv1 = tnn.Conv2d(cin, cout, 3, stride=stride, padding=1,
-                                bias=False)
-        self.bn1 = tnn.BatchNorm2d(cout)
-        self.conv2 = tnn.Conv2d(cout, cout, 3, padding=1, bias=False)
-        self.bn2 = tnn.BatchNorm2d(cout)
-        self.downsample = None
-        if stride != 1 or cin != cout:
-            self.downsample = tnn.Sequential(
-                tnn.Conv2d(cin, cout, 1, stride=stride, bias=False),
-                tnn.BatchNorm2d(cout))
-
-    def forward(self, x):
-        identity = x
-        out = torch.relu(self.bn1(self.conv1(x)))
-        out = self.bn2(self.conv2(out))
-        if self.downsample is not None:
-            identity = self.downsample(x)
-        return torch.relu(out + identity)
-
-
 def test_basicblock_strided_parity(rng):
     cin, cout, stride = 4, 8, 2
-    t = _TorchBasicBlock(cin, cout, stride)
+    from torch_twin import TorchBasic
+    t = TorchBasic(cin, cout, stride)
     x = rng.normal(size=(2, cin, 10, 14)).astype(np.float32)
 
     params, stats = {}, {}

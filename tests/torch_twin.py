@@ -187,8 +187,11 @@ class TorchLSSTwin(nn.Module):
         self.bevencode = TorchBevEncode(C, outC)
 
 
-def randomize_bn_stats(model, rng):
-    """Give every BN non-trivial running stats so eval mode is a real test."""
+def randomize_bn_stats(model, rng, affine=False):
+    """Give every BN non-trivial running stats so eval mode is a real test.
+
+    ``affine=True`` also randomizes gamma/beta (default-initialized BNs
+    would otherwise make scale/bias transplant bugs invisible)."""
     for m in model.modules():
         if isinstance(m, nn.BatchNorm2d):
             with torch.no_grad():
@@ -198,6 +201,13 @@ def randomize_bn_stats(model, rng):
                 m.running_var.copy_(torch.from_numpy(
                     rng.uniform(0.5, 1.5, m.running_var.shape)
                     .astype(np.float32)))
+                if affine:
+                    m.weight.copy_(torch.from_numpy(
+                        rng.uniform(0.5, 1.5, m.weight.shape)
+                        .astype(np.float32)))
+                    m.bias.copy_(torch.from_numpy(
+                        rng.normal(0, 0.1, m.bias.shape)
+                        .astype(np.float32)))
 
 
 def torch_full_lss_forward(twin, grid_conf, frustum, x, rots, trans,
