@@ -342,6 +342,10 @@ if __name__ == "__main__":
         sp.add_argument("--best", action="store_true",
                         help="restore the best-by-val-IoU checkpoint")
         sp.add_argument("--bsz", type=int, default=2)
+        sp.add_argument("--variant", default="b0",
+                        choices=("b0", "b1", "b2", "b3", "b4",
+                                 "resnet18", "resnet34"),
+                        help="camera trunk the checkpoint was trained with")
         if name in ("viz_model_preds", "eval_model_iou", "lidar_check"):
             sp.add_argument("--dataset", default="simbev",
                             choices=("simbev", "nuscenes"))
@@ -352,6 +356,8 @@ if __name__ == "__main__":
                                  "static-map underlay")
     a = p.parse_args()
     kwargs = {}
+    if a.variant != "b0" and a.cmd != "lidar_check":
+        kwargs["variant"] = a.variant   # lidar_check builds no model
     if a.dataroot is not None:
         kwargs["dataroot"] = a.dataroot
     if a.checkpoint is not None:
