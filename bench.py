@@ -93,19 +93,16 @@ def bench_input(bsz: int, iters: int):
     }))
 
 
-def bench_infer(bsz, iters, dtype):
+def bench_infer(bsz, iters, dtype, quantize=False, quant_min_channels=64,
+                variant="b0"):
     """Forward-only latency (reference: ~100 ms/sample single GPU,
-    docs/README_SIMBEV.md:186)."""
+    docs/README_SIMBEV.md:186). quantize: int8 PTQ convs (ops/quant.py)."""
     import jax
     from __graft_entry__ import _enable_compile_cache
     _enable_compile_cache()
-    from lss_carla_tpu.configs import DataAugConf, GridConf
-    from lss_carla_tpu.models.lss import compile_model
-    from lss_carla_tpu.training.state import create_train_state
     from lss_carla_tpu.training.step import make_predict_step
 
-    import jax.numpy as jnp
-    step, state, batch = build(bsz, "scatter", dtype)
+    step, state, batch = build(bsz, "scatter", dtype, variant=variant)
     predict = make_predict_step(None, jit=False)
 
     # chain iterations inside one jit so device executions can't overlap or
@@ -117,15 +114,23 @@ def bench_infer(bsz, iters, dtype):
         return jax.lax.fori_loop(0, iters, body, imgs)
 
     cf = jax.jit(chained)
-    r = cf(batch[0])
+    if quantize:
+        from lss_carla_tpu.ops.quant import quantized_context
+        with quantized_context(quant_min_channels):  # traced on first call
+            r = cf(batch[0])
+    else:
+        r = cf(batch[0])
     jax.block_until_ready(r)
     t0 = time.perf_counter()
     r = cf(batch[0])
     jax.block_until_ready(r)
     ms = (time.perf_counter() - t0) / iters * 1000.0
     ms_per_sample = ms / bsz
+    suffix = "_int8" if quantize else ""
+    if variant != "b0":
+        suffix += f"_{variant}"
     print(json.dumps({
-        "metric": f"inference_ms_per_sample_bsz{bsz}",
+        "metric": f"inference_ms_per_sample_bsz{bsz}{suffix}",
         "value": round(ms_per_sample, 3),
         "unit": "ms",
         "vs_baseline": round(100.0 / ms_per_sample, 3),
@@ -193,20 +198,28 @@ def main():
                             "resnet18", "resnet34"],
                    help="camera trunk; --mode step only — the flagship "
                         "metrics stay b0")
+    p.add_argument("--quantize", action="store_true",
+                   help="int8 PTQ convs; --mode infer only")
+    p.add_argument("--quant_min_channels", type=int, default=64,
+                   help="quantize only convs with min(cin,cout) >= this")
     args = p.parse_args()
 
     if args.mode == "all" and args.dtype is not None:
         p.error("--mode all always emits both dtypes; use --mode step or "
                 "--mode infer with --dtype for a single-dtype timing")
-    if args.variant != "b0" and args.mode != "step":
-        p.error("--variant only applies to --mode step (flagship metrics "
-                "are measured on the b0 reference config)")
+    if args.variant != "b0" and args.mode not in ("step", "infer"):
+        p.error("--variant only applies to --mode step/infer (flagship "
+                "metrics are measured on the b0 reference config)")
+    if args.quantize and args.mode != "infer":
+        p.error("--quantize only applies to --mode infer (training stays "
+                "in float)")
     dtype = args.dtype or "bfloat16"
 
     if args.mode == "input":
         bench_input(args.bsz, max(1, args.iters // 5))
     elif args.mode == "infer":
-        bench_infer(args.bsz, args.iters, dtype)
+        bench_infer(args.bsz, args.iters, dtype, args.quantize,
+                    args.quant_min_channels, args.variant)
     elif args.mode == "step":
         bench_step(args.bsz, args.iters, args.splat_method, dtype,
                    args.remat, args.variant)

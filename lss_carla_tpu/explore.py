@@ -71,11 +71,23 @@ def _build(dataroot, bsz=4, nworkers=4, H=224, W=480, final_dim=(128, 352),
     return model, state, trainloader, valloader, grid_conf, aug_conf
 
 
-def eval_model_iou(dataroot, checkpoint: str, bsz=4, nworkers=4, **kw):
+def eval_model_iou(dataroot, checkpoint: str, bsz=4, nworkers=4,
+                   quantize: bool = False, **kw):
+    """With ``quantize=True`` the forward runs int8 PTQ (``ops/quant.py``)
+    — the IoU delta vs the float eval is the quantization accuracy cost."""
     model, state, _, valloader, *_ = _build(
         dataroot, bsz=bsz, nworkers=nworkers, checkpoint=checkpoint, **kw)
     eval_fn = make_eval_step(model, pos_weight=2.13)
-    info = get_val_info(eval_fn, state, valloader, device_put=jax.device_put)
+    if quantize:
+        from lss_carla_tpu.ops.quant import quantized_context
+        with quantized_context():
+            # the first batch traces the jitted eval step inside the
+            # interceptor context, baking the int8 convs into the program
+            info = get_val_info(eval_fn, state, valloader,
+                                device_put=jax.device_put)
+    else:
+        info = get_val_info(eval_fn, state, valloader,
+                            device_put=jax.device_put)
     print(info)
     return info
 
@@ -350,6 +362,9 @@ if __name__ == "__main__":
             sp.add_argument("--dataset", default="simbev",
                             choices=("simbev", "nuscenes"))
             sp.add_argument("--version", default="v1.0-mini")
+        if name == "eval_model_iou":
+            sp.add_argument("--quantize", action="store_true",
+                            help="run the forward with int8 PTQ convs")
         if name == "viz_model_preds":
             sp.add_argument("--map_folder", default=None,
                             help="nuScenes map-expansion folder for the "
@@ -367,7 +382,8 @@ if __name__ == "__main__":
         kwargs.update(dataset=a.dataset, map_folder=a.map_folder,
                       version=a.version)
     elif a.cmd == "eval_model_iou":
-        kwargs.update(dataset=a.dataset, version=a.version)
+        kwargs.update(dataset=a.dataset, version=a.version,
+                      quantize=a.quantize)
     if a.cmd in ("splat_check", "lidar_check"):
         kwargs.pop("best", None)
     if a.cmd == "lidar_check":

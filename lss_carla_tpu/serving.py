@@ -35,16 +35,26 @@ def _example_args(bsz: int, ncams: int, fH: int, fW: int,
 
 def export_predict(model, state, path: str, bsz: int = 1,
                    uint8_images: bool = False,
-                   platforms: Optional[Sequence[str]] = None) -> None:
+                   platforms: Optional[Sequence[str]] = None,
+                   quantize: bool = False,
+                   quant_min_channels: int = 64) -> None:
     """Serialize the forward pass (weights baked in) to ``path``.
 
     uint8_images: export with a uint8 image input signature (the
     device-normalize contract). platforms: e.g. ("tpu",) or ("cpu", "tpu");
-    defaults to the current backend.
+    defaults to the current backend. quantize: bake int8 PTQ into the
+    artifact (``ops/quant.py`` — the weight-quantization constants fold at
+    export time since the params are closed over).
     """
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     def fwd(imgs, rots, trans, intrins, post_rots, post_trans):
+        if quantize:
+            from lss_carla_tpu.ops.quant import quantized_apply
+            return quantized_apply(model, variables, imgs, rots, trans,
+                                   intrins, post_rots, post_trans,
+                                   train=False,
+                                   min_channels=quant_min_channels)
         return model.apply(variables, imgs, rots, trans, intrins, post_rots,
                            post_trans, train=False)
 
