@@ -35,9 +35,11 @@ from lss_carla_tpu.utils.checkpoint import CheckpointManager
 from lss_carla_tpu.utils.logging import MetricLogger
 
 
-def get_val_info(eval_step, state, valloader, device_put=None) -> dict:
+def get_val_info(eval_step, state, valloader, device_put=None,
+                 heartbeat=None) -> dict:
     """Run the full val loader; mean loss + dataset-level IoU
-    (reference ``src/tools.py:243-270``)."""
+    (reference ``src/tools.py:243-270``). ``heartbeat`` is called after
+    each synchronized batch (stall-watchdog feed during long validations)."""
     total = {"loss_sum": 0.0, "intersect": 0.0, "union": 0.0, "batch": 0.0}
     it = iter(valloader)
     if device_put is not None:
@@ -46,6 +48,8 @@ def get_val_info(eval_step, state, valloader, device_put=None) -> dict:
         m = eval_step(state, batch)
         for k in total:
             total[k] += float(m[k])
+        if heartbeat is not None:
+            heartbeat()
     n = max(total["batch"], 1.0)
     union = total["union"]
     return {"loss": total["loss_sum"] / n,
@@ -108,6 +112,8 @@ def train(
     nuscenes_version: str = "v1.0-mini",
     max_steps: Optional[int] = None,   # early stop for smoke/bench runs
     profile_dir: Optional[str] = None,  # jax.profiler trace output
+    watchdog_secs: int = 0,            # stall detector (0 = off); dumps
+                                       # stacks at N s, hard-exits at 2N
 ):
     """Train LSS on SimBEV. Mirrors the reference CLI surface exactly; extras
     are keyword-only additions."""
@@ -278,6 +284,14 @@ def train(
     except ValueError:
         prev_handlers = {}  # not in main thread (e.g. under a test runner)
 
+    watchdog = None
+    if watchdog_secs:
+        from lss_carla_tpu.training.watchdog import StallWatchdog
+        watchdog = StallWatchdog(watchdog_secs,
+                                 abort_after=2 * watchdog_secs).start()
+        print(f"Stall watchdog armed after first step "
+              f"(warn {watchdog_secs}s, abort {2 * watchdog_secs}s)")
+
     print("Starting training...")
     stop = False
     for epoch in range(start_epoch, nepochs):
@@ -293,9 +307,18 @@ def train(
             counter += 1
             t1 = time.time()
 
+            if watchdog is not None and counter == 1:
+                # arm after the first step (incl. its compile) completes
+                float(metrics["loss"])
+                watchdog.beat()
             if counter % 10 == 0:
                 logger.scalars(counter, **{
                     "train/loss": float(metrics["loss"])})
+                # the float() above synchronized on this step's completion
+                # — a true device-progress heartbeat (dispatches alone
+                # return immediately on async runtimes)
+                if watchdog is not None:
+                    watchdog.beat()
             if iou_log_step and counter % iou_log_step == 0:
                 union = float(metrics["union"])
                 iou = float(metrics["intersect"]) / union if union > 0 else 1.0
@@ -325,12 +348,15 @@ def train(
                         print(f"  train viz failed: {e}")
 
             if val_step and counter % val_step == 0:
-                val_info = get_val_info(eval_fn, state, valloader,
-                                        device_put=device_put)
+                val_info = get_val_info(
+                    eval_fn, state, valloader, device_put=device_put,
+                    heartbeat=watchdog.beat if watchdog else None)
                 logger.scalars(counter, **{"val/loss": val_info["loss"],
                                            "val/iou": val_info["iou"]})
                 print(f"  validation: loss={val_info['loss']:.4f} "
                       f"iou={val_info['iou']:.4f}")
+                if watchdog is not None:
+                    watchdog.beat()
                 if predict_fn is not None and viz_val_batch is not None:
                     try:
                         from lss_carla_tpu.utils.viz import make_bev_figure
@@ -352,9 +378,13 @@ def train(
                     ckpt.save_best(counter, state, epoch, best_val_iou)
                     logger.summary(best_val_iou=best_val_iou)
                     print(f"  new best IoU {best_val_iou:.4f} (saved)")
+                    if watchdog is not None:
+                        watchdog.beat()   # best-save streams over the tunnel
 
             if save_step and counter % save_step == 0:
                 ckpt.save(counter, state, epoch)
+                if watchdog is not None:
+                    watchdog.beat()   # tunnel saves take minutes; not a stall
 
             if preempted["flag"]:
                 ckpt.save(counter, state, epoch)
@@ -365,6 +395,9 @@ def train(
                 break
         if stop:
             break
+
+    if watchdog is not None:
+        watchdog.stop()   # final save streams over the tunnel; not a stall
 
     for sig, h in prev_handlers.items():
         import signal as _signal

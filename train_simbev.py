@@ -86,6 +86,10 @@ def main():
                         help='camera trunk: efficientnet (reference parity) '
                              'or the MXU-friendly resnet alternative')
     parser.add_argument('--max_steps', type=int, default=None)
+    parser.add_argument('--watchdog_secs', type=int, default=0,
+                        help='stall detector: dump stacks after N s of no '
+                             'step progress, hard-exit (code 42) at 2N for '
+                             'supervisor restart with --resume; 0 disables')
     parser.add_argument('--profile_dir', type=str, default=None)
     parser.add_argument('--seed', type=int, default=42)
 
@@ -126,6 +130,7 @@ def main():
         variant=args.variant,
         max_steps=args.max_steps,
         profile_dir=args.profile_dir,
+        watchdog_secs=args.watchdog_secs,
         seed=args.seed,
     )
 
