@@ -181,9 +181,15 @@ class NuScenesDataset:
     def __init__(self, dataroot, is_train: bool, data_aug_conf, grid_conf,
                  version: str = "v1.0-mini",
                  label_category_prefix: str = "vehicle.",
-                 train_split_fraction: float = 0.8):
+                 train_split_fraction: float = 0.8,
+                 device_normalize: bool = False):
         self.dataroot = Path(dataroot)
         self.is_train = is_train
+        # device_normalize: emit raw uint8 images (4x smaller host->device
+        # transfers); ImageNet normalization then runs inside the jitted
+        # program (models/lss.py get_cam_feats) — same contract as the
+        # SimBEV loader's device_normalize
+        self.device_normalize = device_normalize
         self.data_aug_conf = (data_aug_conf if isinstance(data_aug_conf,
                                                           DataAugConf)
                               else DataAugConf.from_dict(data_aug_conf))
@@ -231,8 +237,9 @@ class NuScenesDataset:
             post_tran3 = np.zeros(3, dtype=np.float32)
             post_rot3[:2, :2] = post_rot2
             post_tran3[:2] = post_tran2
-            imgs.append(normalize_img(np.asarray(img.convert("RGB")))
-                        .transpose(2, 0, 1))
+            rgb = np.asarray(img.convert("RGB"))
+            imgs.append(rgb.transpose(2, 0, 1) if self.device_normalize
+                        else normalize_img(rgb).transpose(2, 0, 1))
             intrins.append(np.asarray(cs["camera_intrinsic"],
                                       dtype=np.float32))
             # sensor->ego, used as-is by the cam->ego composition (the
@@ -298,13 +305,16 @@ class NuScenesDataset:
 
 def compile_data_nuscenes(version, dataroot, data_aug_conf, grid_conf,
                           bsz: int, nworkers: int,
-                          drop_to_multiple_of: Optional[int] = None):
+                          drop_to_multiple_of: Optional[int] = None,
+                          device_normalize: bool = False):
     """nuScenes analog of ``compile_data`` (same loader semantics)."""
     from lss_carla_tpu.data.loader import DataLoader
     train_ds = NuScenesDataset(dataroot, True, data_aug_conf, grid_conf,
-                               version=version)
+                               version=version,
+                               device_normalize=device_normalize)
     val_ds = NuScenesDataset(dataroot, False, data_aug_conf, grid_conf,
-                             version=version)
+                             version=version,
+                             device_normalize=device_normalize)
     trainloader = DataLoader(train_ds, batch_size=bsz, shuffle=True,
                              drop_last=True, num_workers=nworkers)
     valloader = DataLoader(val_ds, batch_size=bsz, shuffle=False,

@@ -167,8 +167,8 @@ def train(
         trainloader, valloader = compile_data_nuscenes(
             nuscenes_version, dataroot, data_aug_conf, grid_conf, bsz=bsz,
             nworkers=nworkers,
-            drop_to_multiple_of=n_devices if use_mesh else None)
-        device_normalize = False  # nuScenes loader emits normalized floats
+            drop_to_multiple_of=n_devices if use_mesh else None,
+            device_normalize=device_normalize)
     else:
         trainloader, valloader = compile_data(
             "unused", dataroot, data_aug_conf, grid_conf, bsz=bsz,

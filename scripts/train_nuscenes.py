@@ -36,6 +36,9 @@ def main():
                    help="nuScenes table version directory")
     p.add_argument("--simbev_data", action="store_true",
                    help="run the nuScenes config against SimBEV-format data")
+    p.add_argument("--host_normalize", action="store_true",
+                   help="normalize images on the host (reference behavior) "
+                        "instead of shipping uint8 and normalizing in-jit")
     args = p.parse_args()
 
     train(
@@ -57,6 +60,7 @@ def main():
         max_steps=args.max_steps,
         dataset="simbev" if args.simbev_data else "nuscenes",
         nuscenes_version=args.version,
+        device_normalize=not args.host_normalize,
     )
 
 

@@ -151,3 +151,18 @@ def test_lidar_check_nuscenes(nusc_root, tmp_path):
                         dataset="nuscenes", max_samples=1, nsweeps=2,
                         H=112, W=240, final_dim=(64, 176))
     assert len(paths) == 1 and os.path.exists(paths[0])
+
+
+def test_device_normalize_uint8_mode(nusc_root):
+    """uint8 item + host normalize_img reproduces the float path exactly
+    (aug is deterministic on the val split, so items align)."""
+    from lss_carla_tpu.ops.image import normalize_img
+    ds_u = NuScenesDataset(nusc_root, False, _aug(), GridConf(),
+                           device_normalize=True)
+    ds_f = NuScenesDataset(nusc_root, False, _aug(), GridConf())
+    imgs_u, *rest_u = ds_u[0]
+    imgs_f, *rest_f = ds_f[0]
+    assert imgs_u.dtype == np.uint8 and imgs_u.shape == imgs_f.shape
+    renorm = normalize_img(imgs_u.transpose(0, 2, 3, 1)).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(renorm, imgs_f, atol=1e-5)
+    np.testing.assert_array_equal(rest_u[-1], rest_f[-1])  # labels identical
