@@ -181,7 +181,8 @@ def splat_check(dataroot=None, bsz=2, **kw):
                              ybound=(-40.0, 40.0, 1.25),
                              dbound=(4.0, 44.0, 2.0))
         aug_conf = DataAugConf(H=64, W=128, final_dim=(32, 64))
-        model_s = _cm(grid_conf, aug_conf, outC=1, splat_method="scatter")
+        model_s = _cm(grid_conf, aug_conf, outC=1, splat_method="scatter",
+                      variant=kw.get("variant", "b0"))
         rng = np.random.default_rng(0)
         fH, fW = aug_conf.final_dim
         nxy = int(grid_conf.nx[0])
@@ -197,8 +198,12 @@ def splat_check(dataroot=None, bsz=2, **kw):
         state = create_train_state(model_s, jax.random.PRNGKey(0), batch[:6])
 
     from lss_carla_tpu.models.lss import compile_model as _cm2
-    model_p = _cm2(model_s.grid_conf, model_s.data_aug_conf, outC=1,
-                   splat_method="pallas")
+    # the pallas twin must mirror every model option (e.g. --variant) or
+    # state.params won't match its module tree
+    model_p = _cm2(model_s.grid_conf, model_s.data_aug_conf,
+                   outC=model_s.outC, splat_method="pallas",
+                   variant=model_s.variant,
+                   compute_dtype=model_s.compute_dtype)
 
     results = {}
     for name, model in [("scatter", model_s), ("pallas", model_p)]:

@@ -1,10 +1,11 @@
 """Post-training int8 quantization for inference (serving fast path).
 
-The v5e MXU runs s8xs8->s32 convolutions at ~2x bf16 throughput (measured
-2.13x on the model's heavy decoder conv shape — ``scripts/int8_probe.py``).
-This module quantizes the *dense* convolutions of any trained model at
-inference time with no retraining and no model-code changes, via a flax
-method interceptor:
+The v5e runs s8xs8->s32 convolutions measurably faster than bf16 (1.24x
+on the model's heavy decoder conv shape — ``scripts/int8_probe.py``; the
+2x MXU-rate ratio doesn't materialize at these partly bandwidth-bound
+shapes). This module quantizes the *dense* convolutions of any trained
+model at inference time with no retraining and no model-code changes, via
+a flax method interceptor:
 
 * weights: static per-output-channel symmetric int8
   (``scale_c = max|W[..., c]| / 127`` — folded to compile-time constants

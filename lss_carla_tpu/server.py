@@ -12,7 +12,9 @@ Protocol (stdlib-only on both sides):
   with exactly the artifact's shapes/dtypes; response is an ``.npz`` with
   ``logits`` (B, outC, X, Y). 400 on shape/dtype mismatch (the expected
   signature is included in the error).
-* ``GET /healthz`` — 200 once the artifact is loaded and warmed.
+* ``GET /healthz`` — 200 once the artifact is loaded and warmed; 503
+  before warmup (an un-warmed server also skips signature validation, so
+  the first request pays the compile).
 * ``GET /stats`` — JSON request count + latency percentiles (ms).
 
 The handler is single-threaded by design: one device, one in-flight batch
@@ -55,7 +57,6 @@ class PredictService:
         return out
 
     def predict(self, arrays):
-        import jax
         missing = [n for n in INPUT_NAMES if n not in arrays]
         if missing:
             raise ValueError(f"missing inputs: {missing}")
@@ -104,7 +105,10 @@ def make_handler(service: PredictService):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._send(200, b"ok", "text/plain")
+                if service.signature is None:
+                    self._send(503, b"loading: not warmed", "text/plain")
+                else:
+                    self._send(200, b"ok", "text/plain")
             elif self.path == "/stats":
                 self._send(200, json.dumps(service.stats()).encode(),
                            "application/json")
@@ -119,9 +123,18 @@ def make_handler(service: PredictService):
             try:
                 arrays = dict(np.load(io.BytesIO(self.rfile.read(n)),
                                       allow_pickle=False))
+            except Exception as e:   # truncated/corrupt npz -> BadZipFile
+                self._send(400, f"unreadable npz payload: {e}".encode(),
+                           "text/plain")
+                return
+            try:
                 logits = service.predict(arrays)
             except ValueError as e:
                 self._send(400, str(e).encode(), "text/plain")
+                return
+            except Exception as e:   # device/runtime failure: report, don't
+                self._send(500, f"{type(e).__name__}: {e}".encode(),
+                           "text/plain")          # drop the connection
                 return
             self._send(200, _npz_bytes(logits=logits))
 

@@ -294,110 +294,120 @@ def train(
 
     print("Starting training...")
     stop = False
-    for epoch in range(start_epoch, nepochs):
-        it = prefetch_to_device(iter(trainloader), size=2,
-                                device_put=device_put)
-        for batch in it:
-            if counter == 0:
-                print("first batch on device; compiling the train step "
-                      "(first compile can take minutes)...", flush=True)
-            t0 = time.time()
-            step_rng = jax.random.fold_in(rng, counter)
-            state, metrics = train_fn(state, batch, step_rng)
-            counter += 1
-            t1 = time.time()
+    try:
+        for epoch in range(start_epoch, nepochs):
+            it = prefetch_to_device(iter(trainloader), size=2,
+                                    device_put=device_put)
+            for batch in it:
+                if counter == 0:
+                    print("first batch on device; compiling the train step "
+                          "(first compile can take minutes)...", flush=True)
+                t0 = time.time()
+                step_rng = jax.random.fold_in(rng, counter)
+                state, metrics = train_fn(state, batch, step_rng)
+                counter += 1
+                t1 = time.time()
 
-            if watchdog is not None and counter == 1:
-                # arm after the first step (incl. its compile) completes
-                float(metrics["loss"])
-                watchdog.beat()
-            if counter % 10 == 0:
-                logger.scalars(counter, **{
-                    "train/loss": float(metrics["loss"])})
-                # the float() above synchronized on this step's completion
-                # — a true device-progress heartbeat (dispatches alone
-                # return immediately on async runtimes)
-                if watchdog is not None:
+                if watchdog is not None and counter == 1:
+                    # arm after the first step (incl. its compile) completes
+                    float(metrics["loss"])
                     watchdog.beat()
-            if iou_log_step and counter % iou_log_step == 0:
-                union = float(metrics["union"])
-                iou = float(metrics["intersect"]) / union if union > 0 else 1.0
-                logger.scalars(counter, **{
-                    "train/iou": iou, "train/epoch": epoch,
-                    "train/step_time": t1 - t0,
-                    "train/samples_per_sec": bsz / max(t1 - t0, 1e-9)})
-                print(f"[{epoch}] step {counter}: "
-                      f"loss={float(metrics['loss']):.4f} iou={iou:.4f} "
-                      f"step_time={t1 - t0:.3f}s")
-                # train-batch visualization (reference logs one every 100
-                # train iters, train_simbev.py:268-329)
-                if predict_fn is not None and viz_step \
-                        and counter % viz_step == 0:
-                    try:
-                        from lss_carla_tpu.utils.viz import make_bev_figure
-                        logits = predict_fn(state, batch[:6])
-                        pred = np.asarray(jax.nn.sigmoid(logits[0, 0]))
-                        fig = make_bev_figure(
-                            np.asarray(batch[0][0]),
-                            np.asarray(batch[6][0, 0]), pred,
-                            title=f"Training iter {counter} | IoU {iou:.4f}")
-                        logger.figure(counter, "train/visualization", fig)
-                        import matplotlib.pyplot as plt
-                        plt.close(fig)
-                    except Exception as e:
-                        print(f"  train viz failed: {e}")
-
-            if val_step and counter % val_step == 0:
-                val_info = get_val_info(
-                    eval_fn, state, valloader, device_put=device_put,
-                    heartbeat=watchdog.beat if watchdog else None)
-                logger.scalars(counter, **{"val/loss": val_info["loss"],
-                                           "val/iou": val_info["iou"]})
-                print(f"  validation: loss={val_info['loss']:.4f} "
-                      f"iou={val_info['iou']:.4f}")
-                if watchdog is not None:
-                    watchdog.beat()
-                if predict_fn is not None and viz_val_batch is not None:
-                    try:
-                        from lss_carla_tpu.utils.viz import make_bev_figure
-                        vb = viz_val_batch  # cached, already mesh-placed
-                        logits = predict_fn(state, vb[:6])
-                        pred = np.asarray(jax.nn.sigmoid(logits[0, 0]))
-                        fig = make_bev_figure(
-                            np.asarray(vb[0][0]), np.asarray(vb[6][0, 0]),
-                            pred,
-                            title=f"Validation iter {counter} | "
-                                  f"IoU {val_info['iou']:.4f}")
-                        logger.figure(counter, "val/visualization", fig)
-                        import matplotlib.pyplot as plt
-                        plt.close(fig)
-                    except Exception as e:  # viz must never kill training
-                        print(f"  viz failed: {e}")
-                if val_info["iou"] > best_val_iou:
-                    best_val_iou = val_info["iou"]
-                    ckpt.save_best(counter, state, epoch, best_val_iou)
-                    logger.summary(best_val_iou=best_val_iou)
-                    print(f"  new best IoU {best_val_iou:.4f} (saved)")
+                if counter % 10 == 0:
+                    logger.scalars(counter, **{
+                        "train/loss": float(metrics["loss"])})
+                    # the float() above synchronized on this step's completion
+                    # — a true device-progress heartbeat (dispatches alone
+                    # return immediately on async runtimes)
                     if watchdog is not None:
-                        watchdog.beat()   # best-save streams over the tunnel
+                        watchdog.beat()
+                if iou_log_step and counter % iou_log_step == 0:
+                    union = float(metrics["union"])
+                    iou = float(metrics["intersect"]) / union if union > 0 else 1.0
+                    logger.scalars(counter, **{
+                        "train/iou": iou, "train/epoch": epoch,
+                        "train/step_time": t1 - t0,
+                        "train/samples_per_sec": bsz / max(t1 - t0, 1e-9)})
+                    print(f"[{epoch}] step {counter}: "
+                          f"loss={float(metrics['loss']):.4f} iou={iou:.4f} "
+                          f"step_time={t1 - t0:.3f}s")
+                    # train-batch visualization (reference logs one every 100
+                    # train iters, train_simbev.py:268-329)
+                    if predict_fn is not None and viz_step \
+                            and counter % viz_step == 0:
+                        try:
+                            from lss_carla_tpu.utils.viz import make_bev_figure
+                            logits = predict_fn(state, batch[:6])
+                            pred = np.asarray(jax.nn.sigmoid(logits[0, 0]))
+                            fig = make_bev_figure(
+                                np.asarray(batch[0][0]),
+                                np.asarray(batch[6][0, 0]), pred,
+                                title=f"Training iter {counter} | IoU {iou:.4f}")
+                            logger.figure(counter, "train/visualization", fig)
+                            import matplotlib.pyplot as plt
+                            plt.close(fig)
+                        except Exception as e:
+                            print(f"  train viz failed: {e}")
 
-            if save_step and counter % save_step == 0:
-                ckpt.save(counter, state, epoch)
-                if watchdog is not None:
-                    watchdog.beat()   # tunnel saves take minutes; not a stall
+                if val_step and counter % val_step == 0:
+                    val_info = get_val_info(
+                        eval_fn, state, valloader, device_put=device_put,
+                        heartbeat=watchdog.beat if watchdog else None)
+                    logger.scalars(counter, **{"val/loss": val_info["loss"],
+                                               "val/iou": val_info["iou"]})
+                    print(f"  validation: loss={val_info['loss']:.4f} "
+                          f"iou={val_info['iou']:.4f}")
+                    if watchdog is not None:
+                        watchdog.beat()
+                    if predict_fn is not None and viz_val_batch is not None:
+                        try:
+                            from lss_carla_tpu.utils.viz import make_bev_figure
+                            vb = viz_val_batch  # cached, already mesh-placed
+                            logits = predict_fn(state, vb[:6])
+                            pred = np.asarray(jax.nn.sigmoid(logits[0, 0]))
+                            fig = make_bev_figure(
+                                np.asarray(vb[0][0]), np.asarray(vb[6][0, 0]),
+                                pred,
+                                title=f"Validation iter {counter} | "
+                                      f"IoU {val_info['iou']:.4f}")
+                            logger.figure(counter, "val/visualization", fig)
+                            import matplotlib.pyplot as plt
+                            plt.close(fig)
+                        except Exception as e:  # viz must never kill training
+                            print(f"  viz failed: {e}")
+                    if val_info["iou"] > best_val_iou:
+                        best_val_iou = val_info["iou"]
+                        if watchdog is not None:
+                            watchdog.pause()  # saves stream minutes; an abort
+                            # mid-write would corrupt the checkpoint
+                        ckpt.save_best(counter, state, epoch, best_val_iou)
+                        logger.summary(best_val_iou=best_val_iou)
+                        print(f"  new best IoU {best_val_iou:.4f} (saved)")
+                        if watchdog is not None:
+                            watchdog.beat()
 
-            if preempted["flag"]:
-                ckpt.save(counter, state, epoch)
-                stop = True
+                if save_step and counter % save_step == 0:
+                    if watchdog is not None:
+                        watchdog.pause()
+                    ckpt.save(counter, state, epoch)
+                    if watchdog is not None:
+                        watchdog.beat()
+
+                if preempted["flag"]:
+                    if watchdog is not None:
+                        watchdog.pause()
+                    ckpt.save(counter, state, epoch)
+                    stop = True
+                    break
+                if max_steps is not None and counter >= max_steps:
+                    stop = True
+                    break
+            if stop:
                 break
-            if max_steps is not None and counter >= max_steps:
-                stop = True
-                break
-        if stop:
-            break
-
-    if watchdog is not None:
-        watchdog.stop()   # final save streams over the tunnel; not a stall
+    finally:
+        # stop even on an escaping exception: a still-armed watchdog would
+        # os._exit the caller up to 2N seconds after the crash
+        if watchdog is not None:
+            watchdog.stop()   # final save streams over the tunnel too
 
     for sig, h in prev_handlers.items():
         import signal as _signal

@@ -60,6 +60,12 @@ class StallWatchdog:
         self._last_beat = time.monotonic()
         self._warned = False
 
+    def pause(self):
+        """Disarm during legitimately slow phases (checkpoint saves stream
+        minutes over remote transports; an abort mid-write would corrupt
+        the very checkpoint recovery depends on). Re-arm with ``beat()``."""
+        self._last_beat = None
+
     def stop(self):
         self._stop.set()
 

@@ -1,10 +1,17 @@
-"""Probe: does XLA:TPU run int8 convolutions at ~2x bf16 MXU throughput?
+"""Probe: how much faster does XLA:TPU run int8 convolutions than bf16?
 
 Times one representative heavy conv from the model (the BevEncode decoder
 3x3 at 200x200x128-ish shapes) in bf16 vs int8 (s8 x s8 -> s32 via
-``preferred_element_type``), chained-in-jit. If int8 lands near 2x, a
-post-training-quantized serving path is worth building; if XLA upcasts
-(~1x or worse), that's the kill evidence.
+``preferred_element_type``), chained-in-jit.
+
+Measured on v5e: **1.24x** (bf16 1.33 ms vs int8 1.07 ms at this shape) —
+far below the 2x MXU-rate ratio, because the conv is partly
+bandwidth-bound and the s32 accumulator writes are wider. An earlier
+version of this probe reported 2.13x; that number was an artifact — its
+integer loop-feedback term (``out * 0``) was algebraically folded, so XLA
+dead-code-eliminated the int8 conv and the probe timed an empty loop. The
+``timed`` helper now uses value-dependent feedback and asserts the op
+survives in the compiled HLO.
 
 Run on the TPU (one process at a time): python scripts/int8_probe.py
 """
@@ -15,16 +22,31 @@ import numpy as np
 
 
 def timed(fn, x, iters=50):
+    """Chained-in-jit timing with a feedback term XLA cannot fold away.
+
+    ``out * 0`` is algebraically eliminated for INTEGER dtypes (no NaN
+    semantics to preserve), which silently dead-codes the op under test —
+    so the feedback must actually depend on ``out``'s values: floats use
+    the bench.py ``1 + 1e-12*out`` trick, ints xor in the low bit.
+    """
     import jax
+    import jax.numpy as jnp
 
     def chained(v):
         def body(_, acc):
             out = fn(acc)
-            # feed a same-shaped value back through to serialize iterations
-            return acc + out.astype(acc.dtype)[..., :acc.shape[-1]] * 0
+            dep = out[..., :acc.shape[-1]]
+            if jnp.issubdtype(acc.dtype, jnp.integer):
+                return acc ^ (dep & 1).astype(acc.dtype)
+            return acc * (1.0 + jnp.asarray(1e-12, acc.dtype)
+                          * dep.astype(acc.dtype))
         return jax.lax.fori_loop(0, iters, body, v)
 
     cf = jax.jit(chained)
+    # guard against silent dead-code elimination of the op under test
+    hlo = cf.lower(x).compile().as_text()
+    assert "convolution" in hlo or "conv" in hlo, \
+        "op under test was eliminated from the compiled program"
     r = cf(x)
     jax.block_until_ready(r)
     t0 = time.perf_counter()
@@ -66,10 +88,10 @@ def main():
 
     ms_bf16 = timed(conv_bf16, x_f.astype(jnp.bfloat16))
     print(f"bf16 conv: {ms_bf16:.3f} ms  "
-          f"({flops / ms_bf16 / 1e9:.0f} GFLOP/s)")
+          f"({flops / (ms_bf16 / 1e3) / 1e12:.0f} TFLOP/s)")
     ms_i8 = timed(conv_i8, x_i8)
     print(f"int8 conv: {ms_i8:.3f} ms  "
-          f"({flops / ms_i8 / 1e9:.0f} GOP/s)  "
+          f"({flops / (ms_i8 / 1e3) / 1e12:.0f} TOP/s)  "
           f"speedup {ms_bf16 / ms_i8:.2f}x")
 
 

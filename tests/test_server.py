@@ -28,7 +28,7 @@ def _post(url, data):
 
 
 @pytest.fixture(scope="module")
-def running_server(tmp_path_factory):
+def artifact_and_args(tmp_path_factory):
     model = tiny_model()
     B, N, H, W = 1, 6, 32, 64
     rng = np.random.default_rng(0)
@@ -44,13 +44,18 @@ def running_server(tmp_path_factory):
     live = model.apply({"params": state.params,
                         "batch_stats": state.batch_stats}, *args,
                        train=False)
+    return path, args, np.asarray(live)
 
+
+@pytest.fixture(scope="module")
+def running_server(artifact_and_args):
+    path, args, live = artifact_and_args
     httpd = serve(path, port=0, warmup_args=tuple(np.asarray(a)
                                                   for a in args))
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     base = f"http://127.0.0.1:{httpd.server_address[1]}"
-    yield base, args, np.asarray(live)
+    yield base, args, live
     httpd.shutdown()
 
 
@@ -91,6 +96,26 @@ def test_missing_input_400(running_server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(base + "/predict", _npz(partial))
     assert ei.value.code == 400
+
+
+def test_corrupt_payload_400(running_server):
+    base, _, _ = running_server
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/predict", b"not an npz archive at all")
+    assert ei.value.code == 400
+    assert b"unreadable npz" in ei.value.read()
+
+
+def test_unwarmed_server_healthz_503(artifact_and_args):
+    path, _, _ = artifact_and_args
+    httpd = serve(path, port=0)           # no warmup_args
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(base + "/healthz", timeout=30)
+    assert ei.value.code == 503
+    httpd.shutdown()
 
 
 def test_stats(running_server):

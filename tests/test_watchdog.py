@@ -49,6 +49,22 @@ def test_abort_fires_after_threshold():
     assert any("hard-exiting" in m for m in msgs)
 
 
+def test_pause_disarms_until_next_beat():
+    """pause() must silence the watchdog through a slow checkpoint save."""
+    msgs, warn = _collector()
+    codes = []
+    wd = StallWatchdog(0.3, abort_after=2.0, abort_fn=codes.append,
+                       warn_fn=warn).start()
+    wd.beat()
+    wd.pause()              # entering a multi-minute save
+    time.sleep(1.0)         # far past the warn timeout
+    assert msgs == [] and codes == []
+    wd.beat()               # save done, re-armed
+    time.sleep(0.7)         # past warn, below abort
+    wd.stop()
+    assert len(msgs) == 1 and codes == []   # detection works after re-arm
+
+
 def test_abort_after_must_cover_timeout():
     with pytest.raises(ValueError):
         StallWatchdog(10.0, abort_after=5.0)
