@@ -74,6 +74,12 @@ class DataLoader:
         self._epoch = 0
         self._seed = seed
 
+    def set_epoch(self, epoch: int):
+        """Pin the shuffle epoch (resume support): without this a resumed
+        run's loader restarts at epoch 0 and replays the exact shuffle
+        orders already consumed before preemption."""
+        self._epoch = int(epoch)
+
     def __len__(self):
         """Per-host batch count (identical on every host)."""
         n = len(self.dataset)

@@ -27,7 +27,8 @@ import numpy as np
 from PIL import Image, ImageDraw
 
 from lss_carla_tpu.configs import DataAugConf, GridConf
-from lss_carla_tpu.data.augment import img_transform, sample_augmentation
+from lss_carla_tpu.data.augment import (img_transform, post_homography,
+                                        sample_augmentation)
 from lss_carla_tpu.ops.geometry import gen_dx_bx
 from lss_carla_tpu.ops.image import normalize_img
 
@@ -211,6 +212,13 @@ class NuScenesDataset:
         self.dx, self.bx, self.nx = gen_dx_bx(
             self.grid_conf.xbound, self.grid_conf.ybound,
             self.grid_conf.zbound)
+        # native C++ decode fast path (shared with the SimBEV loader);
+        # kicks in whenever the sampled rotation is 0 — i.e. always for
+        # the deterministic val split, and for unaugmented train configs
+        from lss_carla_tpu.data.decode import NativeDecoder
+        self._decoder = NativeDecoder(
+            (self.data_aug_conf.W, self.data_aug_conf.H),
+            device_normalize=device_normalize)
         print(self)
 
     def choose_cams(self) -> Sequence[str]:
@@ -230,16 +238,25 @@ class NuScenesDataset:
         for cam in cams:
             sd = cam_data[cam]
             cs = self.t.calibrated_sensor[sd["calibrated_sensor_token"]]
-            img = Image.open(self.dataroot / sd["filename"])
-            img, post_rot2, post_tran2 = img_transform(
-                img, resize, resize_dims, crop, flip, rotate)
+            img_path = self.dataroot / sd["filename"]
+            # native C++ fast path (rotation falls back to PIL)
+            img_chw = self._decoder.decode(img_path, resize_dims, crop,
+                                           flip, rotate)
+            if img_chw is not None:
+                post_rot2, post_tran2 = post_homography(
+                    resize, crop, flip, rotate)
+            else:
+                img = Image.open(img_path)
+                img, post_rot2, post_tran2 = img_transform(
+                    img, resize, resize_dims, crop, flip, rotate)
+                rgb = np.asarray(img.convert("RGB"))
+                img_chw = (rgb.transpose(2, 0, 1) if self.device_normalize
+                           else normalize_img(rgb).transpose(2, 0, 1))
             post_rot3 = np.eye(3, dtype=np.float32)
             post_tran3 = np.zeros(3, dtype=np.float32)
             post_rot3[:2, :2] = post_rot2
             post_tran3[:2] = post_tran2
-            rgb = np.asarray(img.convert("RGB"))
-            imgs.append(rgb.transpose(2, 0, 1) if self.device_normalize
-                        else normalize_img(rgb).transpose(2, 0, 1))
+            imgs.append(img_chw)
             intrins.append(np.asarray(cs["camera_intrinsic"],
                                       dtype=np.float32))
             # sensor->ego, used as-is by the cam->ego composition (the

@@ -144,13 +144,11 @@ class SimBEVDataset:
                 for s in scan_samples(dataroot, is_train, ov)}
         self.dx, self.bx, self.nx = gen_dx_bx(
             self.grid_conf.xbound, self.grid_conf.ybound, self.grid_conf.zbound)
-        self._native = False
-        if use_native:
-            try:
-                from lss_carla_tpu.native import fastimage_available
-                self._native = fastimage_available()
-            except Exception:
-                self._native = False
+        from lss_carla_tpu.data.decode import NativeDecoder
+        self._decoder = NativeDecoder(
+            (self.data_aug_conf.W, self.data_aug_conf.H),
+            device_normalize=self.device_normalize, enabled=use_native)
+        self._native = self._decoder.available
         print(self)
 
     def choose_cams(self) -> Sequence[int]:
@@ -165,15 +163,6 @@ class SimBEVDataset:
         imgs, rots, trans, intrins, post_rots, post_trans = [], [], [], [], [], []
         aug = sample_augmentation(self.data_aug_conf, self.is_train)
         resize, resize_dims, crop, flip, rotate = aug
-
-        # native fast path covers decode+resize+crop+flip (PIL-convention
-        # bicubic, parity within 1/255); only arbitrary-angle rotation
-        # falls back to PIL. The pure-crop case (SimBEV default config:
-        # resize 1:1, no flip) uses the bit-exact crop-only kernel.
-        native_ok = self._native and rotate == 0.0
-        trivial_pixels = (not flip
-                          and resize_dims == (self.data_aug_conf.W,
-                                              self.data_aug_conf.H))
 
         for cam_idx in cam_indices:
             src = sample
@@ -190,43 +179,13 @@ class SimBEVDataset:
                 rot, tran = _perturb_extrinsics(rot, tran,
                                                 *self.extrinsic_noise)
 
-            img_chw = None
-            if native_ok and img_path.suffix.lower() in (".jpg", ".jpeg"):
-                try:
-                    raw = img_path.read_bytes()
-                    if trivial_pixels:
-                        # bit-exact crop-only kernel; expected_dims guards
-                        # against on-disk images that differ from the
-                        # configured (W, H) — those must go through a
-                        # resize first (rc 3 -> PIL fallback)
-                        from lss_carla_tpu.native import (
-                            decode_crop_normalize, decode_crop_u8)
-                        img_chw = (decode_crop_u8(raw, crop, resize_dims)
-                                   if self.device_normalize
-                                   else decode_crop_normalize(
-                                       raw, crop, resize_dims))
-                    else:  # fused decode+resize(+flip)+crop kernel
-                        from lss_carla_tpu.native import (
-                            decode_resize_crop_normalize,
-                            decode_resize_crop_u8)
-                        img_chw = (decode_resize_crop_u8(
-                                       raw, resize_dims, crop, flip)
-                                   if self.device_normalize
-                                   else decode_resize_crop_normalize(
-                                       raw, resize_dims, crop, flip))
-                    post_rot2, post_tran2 = post_homography(
-                        resize, crop, flip, rotate)
-                except Exception as e:
-                    img_chw = None  # fall back to PIL below
-                    if not getattr(self, "_native_fallback_warned", False):
-                        # a systematic kernel failure would otherwise
-                        # silently halve loader throughput — surface the
-                        # first occurrence (e.g. rc=3 on-disk size differing
-                        # from the configured dims, rc=1 undecodable file)
-                        self._native_fallback_warned = True
-                        print(f"fastimage fallback to PIL: {e!r} "
-                              f"({img_path.name}; further falls are "
-                              f"silent)")
+            # native fast path: decode+resize+crop+flip in C++ (shared
+            # NativeDecoder; PIL fallback on rotation/non-JPEG/error)
+            img_chw = self._decoder.decode(img_path, resize_dims, crop,
+                                           flip, rotate)
+            if img_chw is not None:
+                post_rot2, post_tran2 = post_homography(
+                    resize, crop, flip, rotate)
 
             if img_chw is None:
                 img = Image.open(img_path)

@@ -163,6 +163,15 @@ def train(
     if label_mode == "multiclass":
         outC = len(label_classes)
     if dataset == "nuscenes":
+        # the nuScenes loader emits binary vehicle masks only; silently
+        # accepting these would broadcast-shape through the loss
+        if label_mode != "vehicle_binary":
+            raise ValueError(f"dataset='nuscenes' supports only "
+                             f"label_mode='vehicle_binary' (got "
+                             f"{label_mode!r})")
+        if extrinsic_noise is not None:
+            raise ValueError("extrinsic_noise is not implemented for the "
+                             "nuScenes loader")
         from lss_carla_tpu.data.nuscenes import compile_data_nuscenes
         trainloader, valloader = compile_data_nuscenes(
             nuscenes_version, dataroot, data_aug_conf, grid_conf, bsz=bsz,
@@ -225,8 +234,16 @@ def train(
         state, meta = mgr.restore(abstract)
         counter = int(meta.get("counter", 0))
         start_epoch = int(meta.get("epoch", 0))
-        best_val_iou = float(meta.get("val_iou", 0.0))
-        print(f"Resumed from step {counter}, epoch {start_epoch}")
+        # periodic/preemption checkpoint meta carries no val_iou; without
+        # consulting best.json a resumed run would reset best tracking to 0
+        # and overwrite the saved best with a worse model
+        candidates = [float(meta.get("val_iou", 0.0))]
+        for m in ([mgr] if mgr is ckpt else [mgr, ckpt]):
+            if m.best_val_iou() is not None:
+                candidates.append(m.best_val_iou())
+        best_val_iou = max(candidates)
+        print(f"Resumed from step {counter}, epoch {start_epoch} "
+              f"(best val IoU so far {best_val_iou:.4f})")
 
     if use_mesh:
         mesh = make_mesh(n_devices)
@@ -261,6 +278,15 @@ def train(
                 device_put(tuple(np.zeros((bsz,) + a.shape[1:], a.dtype)
                                  for a in sample_args))
             jax.block_until_ready(predict_fn(state, warm))
+            # train batches carry ncams cameras while val batches always
+            # carry all 6 — a different shape would recompile mid-run on
+            # the first train-viz call (the exact hazard above)
+            if viz_val_batch is not None \
+                    and viz_val_batch[0].shape[1] != ncams:
+                warm_train = device_put(tuple(
+                    np.zeros((bsz,) + a.shape[1:], a.dtype)
+                    for a in sample_args))
+                jax.block_until_ready(predict_fn(state, warm_train))
         except Exception as e:
             print(f"viz predict warmup failed ({e}); disabling viz")
             predict_fn = None
@@ -294,8 +320,13 @@ def train(
 
     print("Starting training...")
     stop = False
+    early_stop_epoch = None   # set when --max_steps ends the run early
     try:
         for epoch in range(start_epoch, nepochs):
+            if hasattr(trainloader, "set_epoch"):
+                # resume-correct shuffling: epoch e always draws shuffle
+                # order seed+e, whether reached directly or via --resume
+                trainloader.set_epoch(epoch)
             it = prefetch_to_device(iter(trainloader), size=2,
                                     device_put=device_put)
             for batch in it:
@@ -330,23 +361,29 @@ def train(
                     print(f"[{epoch}] step {counter}: "
                           f"loss={float(metrics['loss']):.4f} iou={iou:.4f} "
                           f"step_time={t1 - t0:.3f}s")
-                    # train-batch visualization (reference logs one every 100
-                    # train iters, train_simbev.py:268-329)
-                    if predict_fn is not None and viz_step \
-                            and counter % viz_step == 0:
-                        try:
-                            from lss_carla_tpu.utils.viz import make_bev_figure
-                            logits = predict_fn(state, batch[:6])
-                            pred = np.asarray(jax.nn.sigmoid(logits[0, 0]))
-                            fig = make_bev_figure(
-                                np.asarray(batch[0][0]),
-                                np.asarray(batch[6][0, 0]), pred,
-                                title=f"Training iter {counter} | IoU {iou:.4f}")
-                            logger.figure(counter, "train/visualization", fig)
-                            import matplotlib.pyplot as plt
-                            plt.close(fig)
-                        except Exception as e:
-                            print(f"  train viz failed: {e}")
+
+                # train-batch visualization (reference logs one every 100
+                # train iters, train_simbev.py:268-329). Sibling of the
+                # IoU-log block: --viz_step alone controls the cadence
+                if predict_fn is not None and viz_step \
+                        and counter % viz_step == 0:
+                    try:
+                        from lss_carla_tpu.utils.viz import make_bev_figure
+                        union = float(metrics["union"])
+                        viz_iou = (float(metrics["intersect"]) / union
+                                   if union > 0 else 1.0)
+                        logits = predict_fn(state, batch[:6])
+                        pred = np.asarray(jax.nn.sigmoid(logits[0, 0]))
+                        fig = make_bev_figure(
+                            np.asarray(batch[0][0]),
+                            np.asarray(batch[6][0, 0]), pred,
+                            title=f"Training iter {counter} | "
+                                  f"IoU {viz_iou:.4f}")
+                        logger.figure(counter, "train/visualization", fig)
+                        import matplotlib.pyplot as plt
+                        plt.close(fig)
+                    except Exception as e:
+                        print(f"  train viz failed: {e}")
 
                 if val_step and counter % val_step == 0:
                     val_info = get_val_info(
@@ -399,6 +436,7 @@ def train(
                     stop = True
                     break
                 if max_steps is not None and counter >= max_steps:
+                    early_stop_epoch = epoch
                     stop = True
                     break
             if stop:
@@ -420,8 +458,11 @@ def train(
         # normal completion: final save records epoch=nepochs (reference
         # train_simbev.py:446-453 semantics). A preemption save was already
         # written with the TRUE epoch — overwriting it here would make the
-        # resumed run think training finished.
-        ckpt.save(counter, state, nepochs)
+        # resumed run think training finished. A --max_steps early stop is
+        # NOT completion: record the true epoch so --resume continues.
+        final_epoch = nepochs if early_stop_epoch is None else \
+            early_stop_epoch
+        ckpt.save(counter, state, final_epoch)
     ckpt.close()
     logger.close()
     print(f"Best validation IoU: {best_val_iou:.4f}")

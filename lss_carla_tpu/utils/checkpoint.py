@@ -78,6 +78,17 @@ class CheckpointManager:
                 return int(json.load(f)["counter"])
         return None
 
+    def best_val_iou(self) -> Optional[float]:
+        """Best val IoU recorded by ``save_best`` (None if never saved).
+
+        Resume must consult this: periodic/preemption checkpoints carry no
+        ``val_iou``, so restoring best-IoU tracking from their meta alone
+        would reset it to 0 and let a worse model overwrite the saved best."""
+        if os.path.exists(self._best_path):
+            with open(self._best_path) as f:
+                return float(json.load(f).get("val_iou", 0.0))
+        return None
+
     def restore(self, abstract_state, step: Optional[int] = None,
                 best: bool = False) -> Tuple[Any, dict]:
         """Restore (state, meta). ``abstract_state``: a target TrainState (or

@@ -50,3 +50,17 @@ def test_restore_empty_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         mgr.restore(_abstract())
     mgr.close()
+
+
+def test_best_val_iou_survives_periodic_saves(tmp_path):
+    """Resume reads best.json for best-IoU tracking: periodic/preemption
+    checkpoint meta has no val_iou, and restoring 0.0 would let a worse
+    model overwrite the saved best (review finding, round 2)."""
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    assert mgr.best_val_iou() is None
+    mgr.save_best(5, _state(1.0), epoch=0, val_iou=0.7)
+    mgr.save(6, _state(2.0), epoch=0)          # periodic: no val_iou in meta
+    _, meta = mgr.restore(_abstract())
+    assert "val_iou" not in meta               # the hazard being guarded
+    assert mgr.best_val_iou() == pytest.approx(0.7)
+    mgr.close()

@@ -159,3 +159,26 @@ def test_sharded_without_equalization_rejected():
     dl = DataLoader(_FakeDataset(16), batch_size=4, shuffle=False,
                     num_workers=0, shard_index=0, num_shards=2)
     assert len(dl) == 2
+
+
+def test_set_epoch_controls_shuffle_order():
+    """Resumed runs must continue the shuffle schedule, not replay it."""
+    from lss_carla_tpu.data.loader import DataLoader
+
+    class _Range:
+        def __len__(self):
+            return 17
+
+        def __getitem__(self, i):
+            return (np.asarray([i]),)
+
+    dl = DataLoader(_Range(), batch_size=4, shuffle=True, drop_last=True,
+                    num_workers=0)
+    first = [b[0].ravel().tolist() for b in dl]    # epoch 0
+    second = [b[0].ravel().tolist() for b in dl]   # epoch 1
+    assert first != second
+    dl.set_epoch(0)
+    replay = [b[0].ravel().tolist() for b in dl]
+    assert replay == first                         # pinning reproduces
+    dl.set_epoch(1)
+    assert [b[0].ravel().tolist() for b in dl] == second

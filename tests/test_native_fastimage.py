@@ -209,3 +209,43 @@ def test_out_of_bounds_crop_matches_pil_zero_padding(rng):
         diff = np.abs(got_flip.astype(int) - np.asarray(
             pil_f.convert("RGB")).transpose(2, 0, 1).astype(int))
         assert diff.max() <= 1
+
+
+def test_nuscenes_dataset_native_matches_pil_path(tmp_path, rng):
+    """nuScenes loader rides the same NativeDecoder: val pipeline native vs
+    PIL agrees within resample rounding; geometry identical."""
+    from lss_carla_tpu.configs import DataAugConf, GridConf
+    from lss_carla_tpu.data.fixtures_nuscenes import generate_nuscenes_fixture
+    from lss_carla_tpu.data.nuscenes import NuScenesDataset
+
+    root = generate_nuscenes_fixture(tmp_path, num_scenes=2,
+                                     samples_per_scene=2, H=112, W=240)
+    aug = DataAugConf(H=112, W=240, final_dim=(64, 176))
+    ds_native = NuScenesDataset(root, False, aug, GridConf())
+    assert ds_native._decoder.available
+    ds_pil = NuScenesDataset(root, False, aug, GridConf())
+    ds_pil._decoder.available = False
+    a = ds_native[0]
+    b = ds_pil[0]
+    np.testing.assert_allclose(a[0], b[0], atol=_ATOL_1PX)
+    for x, y in zip(a[1:], b[1:]):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_nuscenes_dataset_native_uint8_mode(tmp_path, rng):
+    """device_normalize uint8 items agree between native and PIL decode."""
+    from lss_carla_tpu.configs import DataAugConf, GridConf
+    from lss_carla_tpu.data.fixtures_nuscenes import generate_nuscenes_fixture
+    from lss_carla_tpu.data.nuscenes import NuScenesDataset
+
+    root = generate_nuscenes_fixture(tmp_path, num_scenes=2,
+                                     samples_per_scene=2, H=112, W=240)
+    aug = DataAugConf(H=112, W=240, final_dim=(64, 176))
+    ds_native = NuScenesDataset(root, False, aug, GridConf(),
+                                device_normalize=True)
+    ds_pil = NuScenesDataset(root, False, aug, GridConf(),
+                             device_normalize=True)
+    ds_pil._decoder.available = False
+    a, b = ds_native[0], ds_pil[0]
+    assert a[0].dtype == np.uint8 == b[0].dtype
+    assert np.abs(a[0].astype(np.int16) - b[0].astype(np.int16)).max() <= 1

@@ -26,15 +26,29 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
               val_step=0, save_step=0, viz_step=0,
               logdir=logdir, n_devices=1)
 
-    # fire SIGTERM once training is underway (flag is checked after each
-    # completed step, so firing during compile is fine too)
-    timer = threading.Timer(15.0, lambda: os.kill(os.getpid(),
-                                                  signal.SIGTERM))
-    timer.start()
+    # fire SIGTERM once training is demonstrably underway: a fixed delay is
+    # fragile both ways (signal before the loop installs its handler kills
+    # pytest; a fast warm-cache run could finish first). metrics.jsonl gets
+    # its first record at step 10 — by then the handler is live.
+    metrics_path = os.path.join(logdir, "metrics.jsonl")
+    done = threading.Event()
+
+    def _fire_when_underway():
+        import time
+        deadline = time.monotonic() + 600
+        while not done.is_set() and time.monotonic() < deadline:
+            if os.path.exists(metrics_path) \
+                    and os.path.getsize(metrics_path) > 0:
+                os.kill(os.getpid(), signal.SIGTERM)
+                return
+            time.sleep(0.5)
+
+    watcher = threading.Thread(target=_fire_when_underway, daemon=True)
+    watcher.start()
     try:
         r = train(**kw)
     finally:
-        timer.cancel()
+        done.set()
     assert r["counter"] > 0
     # the run was preempted well before 500 epochs x 6 batches
     assert r["counter"] < 500 * 6

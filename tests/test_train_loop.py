@@ -98,3 +98,31 @@ def test_train_with_pretrained_trunk(fixture_root, tmp_path):
                      ["conv_stem"]["kernel"])
     np.testing.assert_allclose(
         got, np.transpose(sd["_conv_stem.weight"], (2, 3, 1, 0)), atol=1e-6)
+
+
+def test_max_steps_stop_records_true_epoch_and_best_iou(fixture_root,
+                                                        tmp_path):
+    """A --max_steps early stop must save the TRUE epoch (not nepochs, which
+    would make --resume a silent no-op) and a resumed run must restore
+    best-IoU tracking from best.json (periodic meta has no val_iou)."""
+    from lss_carla_tpu.utils.checkpoint import CheckpointManager
+
+    result, args = _run(fixture_root, tmp_path, **GRID_64,
+                        nepochs=50, max_steps=2, val_step=2, save_step=0)
+    ckdir = os.path.join(args["logdir"], "ckpts")
+    mgr = CheckpointManager(ckdir)
+    # final save after the early stop: epoch is the real one (0), not 50
+    from lss_carla_tpu.training.loop import ocp_abstract
+    import jax
+    abstract = jax.tree_util.tree_map(ocp_abstract, result["state"])
+    _, meta = mgr.restore(abstract)
+    assert int(meta["epoch"]) == 0
+    mgr.close()
+
+    # resume with the SAME nepochs continues (old semantics made this a
+    # no-op) and best-IoU tracking carries over from best.json
+    result2, _ = _run(fixture_root, tmp_path, **GRID_64,
+                      nepochs=50, max_steps=4, val_step=0, save_step=0,
+                      resume=ckdir)
+    assert result2["counter"] == 4
+    assert result2["best_val_iou"] >= result["best_val_iou"]
