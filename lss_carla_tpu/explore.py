@@ -36,10 +36,16 @@ from lss_carla_tpu.training.step import make_eval_step, make_predict_step
 from lss_carla_tpu.utils.checkpoint import CheckpointManager
 
 
-def _build(dataroot, bsz=4, nworkers=4, H=224, W=480, final_dim=(128, 352),
-           ncams=6, checkpoint: Optional[str] = None, best: bool = False,
-           grid_conf: Optional[GridConf] = None, dataset: str = "simbev",
-           version: str = "v1.0-mini", **model_kw):
+def _build(dataroot, bsz=4, nworkers=4, H=None, W=None,
+           final_dim=(128, 352), ncams=6, checkpoint: Optional[str] = None,
+           best: bool = False, grid_conf: Optional[GridConf] = None,
+           dataset: str = "simbev", version: str = "v1.0-mini", **model_kw):
+    # source dims default per dataset: real nuScenes images are 900x1600 —
+    # building the homography against the SimBEV 224x480 dims would scale
+    # camera geometry wrong by ~3x (override with H/W for fixtures)
+    if H is None or W is None:
+        H = H or (900 if dataset == "nuscenes" else 224)
+        W = W or (1600 if dataset == "nuscenes" else 480)
     grid_conf = grid_conf or GridConf()
     aug_conf = DataAugConf(H=H, W=W, final_dim=tuple(final_dim), Ncams=ncams)
     if dataset == "nuscenes":
@@ -147,8 +153,11 @@ def viz_model_preds(dataroot, checkpoint: Optional[str] = None,
         batch = jax.device_put(batch)
         logits = predict(state, batch[:6])
         preds = np.asarray(jax.nn.sigmoid(logits))
+        # one fetch per batch (per-element float() costs a device round
+        # trip each on the remote transport)
+        valid = np.asarray(batch[7]) if len(batch) > 7 else None
         for si in range(preds.shape[0]):
-            if len(batch) > 7 and float(batch[7][si]) == 0.0:
+            if valid is not None and valid[si] == 0.0:
                 continue  # pad_last wrap-around duplicate, not a real sample
             fig = make_bev_figure(
                 np.asarray(batch[0][si]), np.asarray(batch[6][si, 0]),
@@ -198,11 +207,12 @@ def splat_check(dataroot=None, bsz=2, **kw):
         state = create_train_state(model_s, jax.random.PRNGKey(0), batch[:6])
 
     from lss_carla_tpu.models.lss import compile_model as _cm2
-    # the pallas twin must mirror every model option (e.g. --variant) or
-    # state.params won't match its module tree
+    # the pallas twin must mirror every model option or state.params won't
+    # match its module tree (or, worse, silently compare different models)
     model_p = _cm2(model_s.grid_conf, model_s.data_aug_conf,
                    outC=model_s.outC, splat_method="pallas",
-                   variant=model_s.variant,
+                   variant=model_s.variant, camC=model_s.camC,
+                   downsample=model_s.downsample, remat=model_s.remat,
                    compute_dtype=model_s.compute_dtype)
 
     results = {}
@@ -226,7 +236,7 @@ def splat_check(dataroot=None, bsz=2, **kw):
     return results
 
 
-def lidar_check(dataroot, outdir="./viz_outputs", H=224, W=480,
+def lidar_check(dataroot, outdir="./viz_outputs", H=None, W=None,
                 final_dim=(128, 352), dataset: str = "simbev",
                 version: str = "v1.0-mini", max_samples: int = 2,
                 nsweeps: int = 3, **kw):
@@ -240,6 +250,12 @@ def lidar_check(dataroot, outdir="./viz_outputs", H=224, W=480,
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
+
+    # source dims default per dataset (real nuScenes images are 900x1600;
+    # the in-image mask and homography both need the TRUE source dims)
+    if H is None or W is None:
+        H = H or (900 if dataset == "nuscenes" else 224)
+        W = W or (1600 if dataset == "nuscenes" else 480)
 
     if dataset == "nuscenes":
         return _lidar_check_nuscenes(dataroot, outdir, H, W, final_dim,
@@ -363,6 +379,12 @@ if __name__ == "__main__":
                         choices=("b0", "b1", "b2", "b3", "b4",
                                  "resnet18", "resnet34"),
                         help="camera trunk the checkpoint was trained with")
+        sp.add_argument("--H", type=int, default=None,
+                        help="source image height (default: 224 SimBEV / "
+                             "900 nuScenes)")
+        sp.add_argument("--W", type=int, default=None,
+                        help="source image width (default: 480 SimBEV / "
+                             "1600 nuScenes)")
         if name in ("viz_model_preds", "eval_model_iou", "lidar_check"):
             sp.add_argument("--dataset", default="simbev",
                             choices=("simbev", "nuscenes"))
@@ -378,6 +400,10 @@ if __name__ == "__main__":
     kwargs = {}
     if a.variant != "b0" and a.cmd != "lidar_check":
         kwargs["variant"] = a.variant   # lidar_check builds no model
+    if a.H is not None:
+        kwargs["H"] = a.H
+    if a.W is not None:
+        kwargs["W"] = a.W
     if a.dataroot is not None:
         kwargs["dataroot"] = a.dataroot
     if a.checkpoint is not None:

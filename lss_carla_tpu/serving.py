@@ -37,7 +37,8 @@ def export_predict(model, state, path: str, bsz: int = 1,
                    uint8_images: bool = False,
                    platforms: Optional[Sequence[str]] = None,
                    quantize: bool = False,
-                   quant_min_channels: int = 64) -> None:
+                   quant_min_channels: int = 64,
+                   ncams: Optional[int] = None) -> None:
     """Serialize the forward pass (weights baked in) to ``path``.
 
     uint8_images: export with a uint8 image input signature (the
@@ -59,7 +60,12 @@ def export_predict(model, state, path: str, bsz: int = 1,
                            post_trans, train=False)
 
     fH, fW = model.data_aug_conf.final_dim
-    ncams = model.data_aug_conf.Ncams
+    # Ncams is the TRAIN-time camera-dropout count; eval/serving batches
+    # carry the full rig (choose_cams returns all cameras when not
+    # training), so a 5-cam nuScenes-recipe model still serves 6 cameras.
+    # Override ncams explicitly for a different serving rig.
+    if ncams is None:
+        ncams = max(model.data_aug_conf.Ncams, 6)
     args = _example_args(bsz, ncams, fH, fW,
                          jnp.uint8 if uint8_images else jnp.float32)
     kwargs = {"platforms": tuple(platforms)} if platforms else {}

@@ -49,7 +49,13 @@ class CheckpointManager:
             meta["val_iou"] = float(val_iou)
         if int(step) in mgr.all_steps():
             # idempotent re-save at the same counter (periodic + final/best
-            # can coincide): replace the existing checkpoint
+            # can coincide): replace the existing checkpoint. The delete is
+            # REQUIRED — orbax raises StepAlreadyExistsError even with
+            # force=True (verified empirically). This opens a narrow
+            # SIGKILL window in which step N has no checkpoint; acceptable
+            # because (a) SIGTERM preemption is handled upstream, and
+            # (b) older periodic steps survive (max_to_keep=5) so the run
+            # remains resumable from the previous checkpoint.
             mgr.delete(int(step))
         mgr.save(
             int(step),

@@ -28,7 +28,7 @@ def add_ego_box(ax, color="#76b900"):
     ax.fill(ys, xs, color)
 
 
-def _bev_axes(ax, extent):
+def _bev_axes(ax):
     """Metric labels for an (X, Y)-indexed grid: rows (plot-y) are ego X."""
     ax.set_xlabel("Y (m)", fontsize=10)
     ax.set_ylabel("X (m, forward)", fontsize=10)
@@ -70,7 +70,7 @@ def make_bev_figure(cam_imgs: np.ndarray, gt: np.ndarray, pred_sigmoid:
             ax.set_xlim(extent[0], extent[1])
             ax.set_ylim(extent[2], extent[3])
         ax.set_title(name, fontsize=12, fontweight="bold")
-        _bev_axes(ax, extent)
+        _bev_axes(ax)
 
     ax = plt.subplot(3, 3, 9)
     overlay = np.zeros((*gt.shape, 3))
@@ -79,7 +79,7 @@ def make_bev_figure(cam_imgs: np.ndarray, gt: np.ndarray, pred_sigmoid:
     ax.imshow(overlay, origin="lower", extent=list(extent))
     ax.set_title("Overlay (GT=Red, Pred=Green, Match=Yellow)", fontsize=12,
                  fontweight="bold")
-    _bev_axes(ax, extent)
+    _bev_axes(ax)
 
     if title:
         plt.suptitle(title, fontsize=14, fontweight="bold")
