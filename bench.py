@@ -137,7 +137,8 @@ def bench_infer(bsz, iters, dtype, quantize=False, quant_min_channels=64,
     }))
 
 
-def bench_step(bsz, iters, splat_method, dtype, remat=False, variant="b0"):
+def bench_step(bsz, iters, splat_method, dtype, remat=False, variant="b0",
+               warmup=1):
     """Chained-in-jit train-step timing; prints its JSON line."""
     import jax
     from lss_carla_tpu.training.step import make_train_step
@@ -156,7 +157,8 @@ def bench_step(bsz, iters, splat_method, dtype, remat=False, variant="b0"):
         lambda st: jax.lax.fori_loop(0, iters, one, st),
         donate_argnums=(0,))
 
-    state = chained(state)            # compile + warmup
+    for _ in range(max(1, warmup)):   # compile + warmup chained calls
+        state = chained(state)
     jax.block_until_ready(state.step)
     times = []
     for _ in range(3):                # median-of-3: robust to runtime hiccups
@@ -222,14 +224,14 @@ def main():
                     args.quant_min_channels, args.variant)
     elif args.mode == "step":
         bench_step(args.bsz, args.iters, args.splat_method, dtype,
-                   args.remat, args.variant)
+                   args.remat, args.variant, args.warmup)
     else:  # all: f32 step (reference-parity dtype), inference, and the
         # headline bf16 step LAST so single-line consumers see the headline
         bench_step(args.bsz, args.iters, args.splat_method, "float32",
-                   args.remat)
+                   args.remat, warmup=args.warmup)
         bench_infer(args.bsz, args.iters, "bfloat16")
         bench_step(args.bsz, args.iters, args.splat_method, "bfloat16",
-                   args.remat)
+                   args.remat, warmup=args.warmup)
 
 
 if __name__ == "__main__":

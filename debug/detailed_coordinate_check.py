@@ -57,6 +57,8 @@ def main():
     print("=" * 70)
     it = iter(dl)
     batch = None
+    if args.samples <= 0:
+        raise SystemExit("--samples must be >= 1")
     for si in range(args.samples):
         nxt = next(it, None)
         if nxt is None:

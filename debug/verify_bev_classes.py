@@ -39,6 +39,8 @@ def main():
         c = (bev > 0).reshape(bev.shape[0], -1).sum(1)
         counts = c if counts is None else counts + c
 
+    if first_bev is None:
+        raise SystemExit("no samples found — nothing to inspect")
     total = first_bev.shape[1] * first_bev.shape[2] * len(samples)
     print(f"per-class positive pixel stats over {len(samples)} samples:")
     for ch, c in enumerate(counts):
@@ -50,8 +52,17 @@ def main():
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     Path(args.outdir).mkdir(parents=True, exist_ok=True)
-    fig, axes = plt.subplots(2, 4, figsize=(16, 8))
+    # panel grid sized to the actual channel count (schema inspection must
+    # not assume the 8-channel SimBEV layout it is verifying)
+    nch = first_bev.shape[0]
+    ncols = min(4, nch)
+    nrows = (nch + ncols - 1) // ncols
+    fig, axes = plt.subplots(nrows, ncols, figsize=(4 * ncols, 4 * nrows),
+                             squeeze=False)
     for ch, ax in enumerate(axes.flat):
+        if ch >= nch:
+            ax.axis("off")
+            continue
         ax.imshow(first_bev[ch], cmap="hot")
         ax.set_title(f"class {ch}")
         ax.axis("off")

@@ -44,12 +44,16 @@ def main():
         ii, jj = np.nonzero(binimg)
         if len(ii) == 0:
             continue
-        # loaded grid: i -> ego X, j -> ego Y
-        xs.append((ii.mean() * gc.dx[0]) + gc.bx[0] - gc.dx[0] / 2)
-        ys.append((jj.mean() * gc.dx[1]) + gc.bx[1] - gc.dx[1] / 2)
+        # loaded grid: i -> ego X, j -> ego Y; bx is already the FIRST-VOXEL
+        # CENTER (gen_dx_bx), so cell i's metric center is bx + i*dx
+        xs.append((ii.mean() * gc.dx[0]) + gc.bx[0])
+        ys.append((jj.mean() * gc.dx[1]) + gc.bx[1])
 
     xs, ys = np.asarray(xs), np.asarray(ys)
     print(f"{len(xs)}/{n} samples have vehicles")
+    if len(xs) == 0:
+        print("no vehicles in any sampled label — nothing to verify")
+        return
     print(f"mean vehicle position: X={xs.mean():+.1f}m Y={ys.mean():+.1f}m")
     print(f"X spread: [{xs.min():+.1f}, {xs.max():+.1f}]  "
           f"Y spread: [{ys.min():+.1f}, {ys.max():+.1f}]")

@@ -64,6 +64,11 @@ def main():
 
     stats = np.asarray(stats)
     n = len(stats)
+    if n == 0:
+        # loud verdict, not a traceback, when no label had vehicle pixels
+        print("FAILURE: no vehicle pixels in any sampled label — cannot "
+              "validate the position distribution")
+        sys.exit(1)
     center = (binimg.shape[0] - 1) / 2.0
     lo, hi = center - 5, center + 5  # reference: cols 95/105 on a 200 grid
     back = int(np.sum(stats < lo))

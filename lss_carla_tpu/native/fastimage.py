@@ -32,15 +32,26 @@ _INV_STD = np.ascontiguousarray(1.0 / IMAGENET_STD, dtype=np.float32)
 def _build() -> Optional[ctypes.CDLL]:
     global _build_failed
     if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
-        return ctypes.CDLL(_SO)
+        try:
+            return ctypes.CDLL(_SO)
+        except OSError:
+            # corrupt/foreign-built cache (-march=native is NOT portable
+            # across hosts): rebuild below rather than crashing callers
+            try:
+                os.remove(_SO)
+            except OSError:
+                pass
     try:
+        # unique tmp per process: two concurrent builders (trainer + tests)
+        # truncating one shared tmp would install a corrupt .so
+        tmp = f"{_SO}.tmp.{os.getpid()}"
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
-             "-ljpeg", "-o", _SO + ".tmp"],
+             "-ljpeg", "-o", tmp],
             check=True, capture_output=True)
-        os.replace(_SO + ".tmp", _SO)
+        os.replace(tmp, _SO)
         return ctypes.CDLL(_SO)
-    except (subprocess.CalledProcessError, OSError) as e:
+    except (subprocess.CalledProcessError, OSError):
         _build_failed = True
         return None
 

@@ -13,8 +13,8 @@ Protocol (stdlib-only on both sides):
   ``logits`` (B, outC, X, Y). 400 on shape/dtype mismatch (the expected
   signature is included in the error).
 * ``GET /healthz`` — 200 once the artifact is loaded and warmed; 503
-  before warmup (an un-warmed server also skips signature validation, so
-  the first request pays the compile).
+  before warmup. An un-warmed server's first successful request pays the
+  compile and pins the signature (health then flips to 200).
 * ``GET /stats`` — JSON request count + latency percentiles (ms).
 
 The handler is single-threaded by design: one device, one in-flight batch
@@ -70,6 +70,11 @@ class PredictService:
         t0 = time.perf_counter()
         out = np.asarray(self._predict(*args))
         ms = (time.perf_counter() - t0) * 1000.0
+        if self.signature is None:
+            # un-warmed server: the first successful request pins the
+            # signature, so /healthz flips to 200 and later requests are
+            # shape-validated
+            self.signature = [(tuple(a.shape), str(a.dtype)) for a in args]
         self.requests += 1
         self.latencies_ms.append(ms)
         if len(self.latencies_ms) > 10000:
@@ -119,7 +124,11 @@ def make_handler(service: PredictService):
             if self.path != "/predict":
                 self._send(404, b"not found", "text/plain")
                 return
-            n = int(self.headers.get("Content-Length", 0))
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+            except (TypeError, ValueError):
+                self._send(400, b"bad Content-Length header", "text/plain")
+                return
             try:
                 arrays = dict(np.load(io.BytesIO(self.rfile.read(n)),
                                       allow_pickle=False))

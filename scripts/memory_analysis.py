@@ -28,13 +28,17 @@ def analyze(dtype: str, bsz: int):
     compiled = lowered.compile()
     m = compiled.memory_analysis()
     gib = 1 << 30
+    alias = getattr(m, "alias_size_in_bytes", 0) or 0
+    # donated state is aliased arg->output: counting it in both args and
+    # outputs would overstate the true peak by ~the state size
+    peak = (m.argument_size_in_bytes + m.output_size_in_bytes
+            + m.temp_size_in_bytes - alias)
     print(f"{dtype} bsz={bsz}: "
           f"args {m.argument_size_in_bytes / gib:.2f} GiB, "
           f"outputs {m.output_size_in_bytes / gib:.2f} GiB, "
           f"temps {m.temp_size_in_bytes / gib:.2f} GiB, "
-          f"peak {(m.argument_size_in_bytes + m.output_size_in_bytes + m.temp_size_in_bytes) / gib:.2f} GiB "
-          f"(alias'd args excluded from peak by XLA where donated)",
-          flush=True)
+          f"aliased {alias / gib:.2f} GiB, "
+          f"peak {peak / gib:.2f} GiB", flush=True)
     return m
 
 
