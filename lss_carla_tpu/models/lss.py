@@ -84,12 +84,21 @@ class LiftSplatShoot(nn.Module):
         return voxel_pooling(geom, feats, self.dx, self.bx, self.nx,
                              method=self.splat_method)  # (B, X, Y, nz*camC)
 
+    def decode_bev(self, bev, train: bool = False):
+        """(B, X, Y, nz*camC) pooled BEV -> (B, outC, X, Y) logits.
+
+        Split out from ``__call__`` so camera-axis model parallelism
+        (``parallel/camera.py``) can psum partial BEVs between the lift
+        (``get_voxels``) and the decode: voxel pooling is a sum over frustum
+        points, and points partition by source camera."""
+        out = self.bevencode(bev, train)            # (B, X, Y, outC)
+        return out.transpose(0, 3, 1, 2)            # reference layout (B, outC, X, Y)
+
     def __call__(self, x, rots, trans, intrins, post_rots, post_trans,
                  train: bool = False):
         bev = self.get_voxels(x, rots, trans, intrins, post_rots, post_trans,
                               train)
-        out = self.bevencode(bev, train)            # (B, X, Y, outC)
-        return out.transpose(0, 3, 1, 2)            # reference layout (B, outC, X, Y)
+        return self.decode_bev(bev, train)
 
 
 def compile_model(grid_conf, data_aug_conf, outC: int = 1,

@@ -21,7 +21,9 @@ jax.config.update("jax_platforms", "cpu")
 
 # CPU compiles of the bigger models dominate test time; cache them on disk so
 # repeat runs are fast.
-_cache_dir = os.path.expanduser("~/.cache/jax_test_compilation")
+_cache_dir = os.environ.get(
+    "LSS_TEST_CACHE_DIR",
+    os.path.expanduser("~/.cache/jax_test_compilation"))
 os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
