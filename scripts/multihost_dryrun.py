@@ -10,6 +10,12 @@ Self-orchestrating: run with no arguments to spawn the workers.
 
     python scripts/multihost_dryrun.py                 # 2 procs x 4 devices
     python scripts/multihost_dryrun.py --procs 2 --local_devices 4
+    python scripts/multihost_dryrun.py --mesh camera   # 2-D (data, cam) mesh
+
+``--mesh camera`` runs the camera-axis model-parallel step
+(``parallel/camera.py``) over a global (data, cam) mesh laid out so the
+cam-axis BEV psum stays INTRA-process (ICI on a real pod) while the
+data-axis gradient psum crosses processes (DCN) — the deployment layout.
 """
 
 import argparse
@@ -23,7 +29,7 @@ sys.path.insert(0, str(REPO))
 
 
 def worker(process_id: int, num_processes: int, local_devices: int,
-           port: int):
+           port: int, mesh_kind: str = "data"):
     os.environ["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={local_devices}")
     import jax
@@ -43,7 +49,22 @@ def worker(process_id: int, num_processes: int, local_devices: int,
     from lss_carla_tpu.training.state import create_train_state
 
     n_global = jax.device_count()
-    mesh = Mesh(np.asarray(jax.devices()), (DATA_AXIS,))
+    if mesh_kind == "camera":
+        from lss_carla_tpu.parallel.camera import (
+            CAM_AXIS, make_camera_sharded_train_step)
+        n_cam = 2
+        # devices enumerate process-major, so reshaping (n_global/n_cam,
+        # n_cam) pairs cam-axis neighbours WITHIN a process: the per-step
+        # BEV psum rides intra-host links (ICI on a pod), only the gradient
+        # pmean crosses processes (DCN)
+        mesh = Mesh(np.asarray(jax.devices()).reshape(-1, n_cam),
+                    (DATA_AXIS, CAM_AXIS))
+        data_size = n_global // n_cam
+        cam_shard_specs = (P(DATA_AXIS, CAM_AXIS),) * 6 + (P(DATA_AXIS),)
+    else:
+        mesh = Mesh(np.asarray(jax.devices()), (DATA_AXIS,))
+        data_size = n_global
+        cam_shard_specs = None
     rep = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(DATA_AXIS))
 
@@ -52,7 +73,7 @@ def worker(process_id: int, num_processes: int, local_devices: int,
     aug_conf = DataAugConf(H=64, W=128, final_dim=(32, 64))
     model = compile_model(grid_conf, aug_conf, outC=1)
 
-    B_global, N = n_global, 6
+    B_global, N = data_size, 6
     B_local = B_global // num_processes
     rng = np.random.default_rng(1000 + process_id)  # per-host data
 
@@ -75,11 +96,21 @@ def worker(process_id: int, num_processes: int, local_devices: int,
         lambda x: jax.make_array_from_process_local_data(
             rep, np.asarray(x)), state)
 
-    step = make_sharded_train_step(model, mesh, pos_weight=2.13)
+    if mesh_kind == "camera":
+        step = make_camera_sharded_train_step(model, mesh, pos_weight=2.13)
+    else:
+        step = make_sharded_train_step(model, mesh, pos_weight=2.13)
     for i in range(2):
-        batch = jax.tree_util.tree_map(
-            lambda x: jax.make_array_from_process_local_data(shard, x),
-            local_batch())
+        lb = local_batch()
+        if mesh_kind == "camera":
+            batch = tuple(
+                jax.make_array_from_process_local_data(
+                    NamedSharding(mesh, spec), x)
+                for spec, x in zip(cam_shard_specs, lb))
+        else:
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(shard, x),
+                lb)
         state, metrics = step(state, batch, jax.random.PRNGKey(i))
         loss = float(metrics["loss"])
         print(f"[proc {process_id}] step {i}: global devices={n_global} "
@@ -98,11 +129,16 @@ def main():
     p.add_argument("--procs", type=int, default=2)
     p.add_argument("--local_devices", type=int, default=4)
     p.add_argument("--port", type=int, default=9921)
+    p.add_argument("--mesh", default="data", choices=["data", "camera"])
     p.add_argument("--process_id", type=int, default=None)  # internal
     args = p.parse_args()
 
+    if args.mesh == "camera" and (args.procs * args.local_devices) % 2:
+        p.error("--mesh camera needs an even global device count (cam=2)")
+
     if args.process_id is not None:
-        worker(args.process_id, args.procs, args.local_devices, args.port)
+        worker(args.process_id, args.procs, args.local_devices, args.port,
+               args.mesh)
         return
 
     procs = []
@@ -110,7 +146,8 @@ def main():
         procs.append(subprocess.Popen(
             [sys.executable, __file__, "--procs", str(args.procs),
              "--local_devices", str(args.local_devices),
-             "--port", str(args.port), "--process_id", str(i)],
+             "--port", str(args.port), "--mesh", args.mesh,
+             "--process_id", str(i)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
     outputs, failed = [], False
     for i, pr in enumerate(procs):
@@ -129,8 +166,8 @@ def main():
         m = re.findall(r"param checksum (-?\d+\.\d+)", o)
         sums.update(m)
     assert len(sums) == 1, f"state diverged across hosts: {sums}"
-    print(f"MULTIHOST DRYRUN OK: {args.procs} processes x "
-          f"{args.local_devices} devices, state consistent")
+    print(f"MULTIHOST DRYRUN OK ({args.mesh} mesh): {args.procs} processes "
+          f"x {args.local_devices} devices, state consistent")
 
 
 if __name__ == "__main__":
