@@ -30,6 +30,8 @@ from util import tiny_batch, tiny_model
 
 POS_WEIGHT = 2.13
 
+pytestmark = pytest.mark.slow  # multi-device full-model CPU compiles
+
 
 @pytest.fixture(scope="module")
 def setup():
