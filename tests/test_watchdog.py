@@ -23,16 +23,19 @@ def test_not_armed_until_first_beat():
 
 def test_warns_on_stall_and_recovers_on_beat():
     msgs, warn = _collector()
-    wd = StallWatchdog(0.3, warn_fn=warn).start()
+    # generous threshold/heartbeat ratio (~7x): a loaded CI box can stall
+    # the test thread for hundreds of ms between beats, which a tight
+    # margin misreads as a stall (observed flake during a parallel suite)
+    wd = StallWatchdog(1.0, warn_fn=warn).start()
     wd.beat()
     for _ in range(4):          # steady heartbeats: no warning
-        time.sleep(0.1)
+        time.sleep(0.15)
         wd.beat()
     assert msgs == []
-    time.sleep(0.8)             # stall
+    time.sleep(2.2)             # stall
     assert len(msgs) == 1 and "no step progress" in msgs[0]
     wd.beat()                   # progress resumes
-    time.sleep(0.5)             # stall again -> warns again (flag reset)
+    time.sleep(1.8)             # stall again -> warns again (flag reset)
     wd.stop()
     assert len(msgs) == 2
 
