@@ -98,7 +98,11 @@ def train(
     viz_step: int = 100,
     iou_log_step: int = 100,  # train-IoU/step-time cadence (reference: 100)
     # TPU-native extras (no reference equivalent)
-    n_devices: Optional[int] = None,   # data-parallel chips (None = all)
+    n_devices: Optional[int] = None,   # total chips in the mesh (None = all)
+    cam_devices: int = 1,              # camera-axis model-parallel shards:
+                                       # splits the ncams cameras over a 2-D
+                                       # (data, cam) mesh (parallel/camera.py);
+                                       # n_devices/cam_devices = data shards
     seed: int = 42,
     splat_method: str = "scatter",
     compute_dtype: str = "float32",
@@ -139,20 +143,33 @@ def train(
         n_devices = len(devices)
     n_devices = min(n_devices, len(devices))
     use_mesh = n_devices > 1
-    if use_mesh and bsz % n_devices != 0:
-        raise ValueError(f"bsz={bsz} must be divisible by n_devices={n_devices}")
+    cam_devices = max(1, int(cam_devices))
+    if cam_devices > 1:
+        if n_devices % cam_devices != 0:
+            raise ValueError(f"n_devices={n_devices} must be divisible by "
+                             f"cam_devices={cam_devices}")
+        if ncams % cam_devices != 0:
+            raise ValueError(f"ncams={ncams} must be divisible by "
+                             f"cam_devices={cam_devices} (cameras shard "
+                             "evenly over the cam axis)")
+    n_data = n_devices // cam_devices  # batch shards (data axis)
+    if use_mesh and bsz % n_data != 0:
+        raise ValueError(f"bsz={bsz} must be divisible by the data-shard "
+                         f"count {n_data} (n_devices/cam_devices)")
 
     logger = MetricLogger(logdir, use_wandb=use_wandb, wandb_kwargs={
         "project": wandb_project, "name": wandb_name, "entity": wandb_entity,
         "config": {"bsz": bsz, "lr": lr, "grid_conf": grid_conf.to_dict(),
                    "data_aug_conf": data_aug_conf.to_dict(),
-                   "n_devices": n_devices}})
+                   "n_devices": n_devices, "cam_devices": cam_devices}})
 
     print("=" * 80)
     print("Training configuration:")
     print(f"  dataroot: {dataroot}")
     print(f"  logdir: {logdir}")
-    print(f"  batch size: {bsz}  (x{n_devices} devices)")
+    print(f"  batch size: {bsz}  (x{n_devices} devices"
+          + (f" = {n_data} data x {cam_devices} cam" if cam_devices > 1
+             else "") + ")")
     print(f"  lr: {lr}  epochs: {nepochs}  cams: {ncams}")
     print(f"  image: {H}x{W} -> {tuple(final_dim)}")
     trunk_name = variant if variant.startswith("resnet") \
@@ -176,13 +193,13 @@ def train(
         trainloader, valloader = compile_data_nuscenes(
             nuscenes_version, dataroot, data_aug_conf, grid_conf, bsz=bsz,
             nworkers=nworkers,
-            drop_to_multiple_of=n_devices if use_mesh else None,
+            drop_to_multiple_of=n_data if use_mesh else None,
             device_normalize=device_normalize)
     else:
         trainloader, valloader = compile_data(
             "unused", dataroot, data_aug_conf, grid_conf, bsz=bsz,
             nworkers=nworkers, parser_name="segmentationdata",
-            drop_to_multiple_of=n_devices if use_mesh else None,
+            drop_to_multiple_of=n_data if use_mesh else None,
             dataset_kwargs={"label_mode": label_mode,
                             "label_classes": tuple(label_classes),
                             "extrinsic_noise": extrinsic_noise,
@@ -245,7 +262,18 @@ def train(
         print(f"Resumed from step {counter}, epoch {start_epoch} "
               f"(best val IoU so far {best_val_iou:.4f})")
 
-    if use_mesh:
+    if use_mesh and cam_devices > 1:
+        # 2-D (data, cam) mesh: batch over data shards, cameras over cam
+        # shards; partial splat + BEV psum inside the step (parallel/camera.py)
+        from lss_carla_tpu.parallel.camera import (
+            make_camera_sharded_eval_step, make_camera_sharded_train_step,
+            make_mesh_2d, shard_batch_2d)
+        mesh = make_mesh_2d(n_data, cam_devices)
+        state = replicate(mesh, state)
+        train_fn = make_camera_sharded_train_step(model, mesh, pos_weight)
+        eval_fn = make_camera_sharded_eval_step(model, mesh, pos_weight)
+        device_put = lambda b: shard_batch_2d(mesh, b)  # noqa: E731
+    elif use_mesh:
         mesh = make_mesh(n_devices)
         state = replicate(mesh, state)
         train_fn = make_sharded_train_step(model, mesh, pos_weight)
@@ -260,8 +288,13 @@ def train(
     predict_fn = None
     viz_val_batch = None  # fetched once, mesh-placed once, reused forever
     if viz_step:
-        from lss_carla_tpu.training.step import make_predict_step
-        predict_fn = make_predict_step(model)
+        if use_mesh and cam_devices > 1:
+            from lss_carla_tpu.parallel.camera import \
+                make_camera_sharded_predict
+            predict_fn = make_camera_sharded_predict(model, mesh)
+        else:
+            from lss_carla_tpu.training.step import make_predict_step
+            predict_fn = make_predict_step(model)
         # Pre-compile NOW (at the runtime batch size and sharding), before
         # any prefetch thread exists: a first-time compile on the viz path
         # while the producer thread is mid-transfer deadlocks on runtimes

@@ -31,6 +31,7 @@ def main():
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--weight_decay", type=float, default=1e-7)
     p.add_argument("--n_devices", type=int, default=None)
+    p.add_argument("--cam_devices", type=int, default=1)
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--version", default="v1.0-mini",
                    help="nuScenes table version directory")
@@ -57,6 +58,7 @@ def main():
         weight_decay=args.weight_decay,
         logdir=args.logdir,
         n_devices=args.n_devices,
+        cam_devices=args.cam_devices,
         max_steps=args.max_steps,
         dataset="simbev" if args.simbev_data else "nuscenes",
         nuscenes_version=args.version,

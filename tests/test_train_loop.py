@@ -81,6 +81,32 @@ def test_train_8device_mesh_with_viz_and_val(fixture_root, tmp_path):
         os.path.join(args["logdir"], tb[0])) > 1000
 
 
+def test_train_2d_cam_mesh_with_viz_and_val(fixture_root, tmp_path):
+    """Full driver over a 2-D (4 data x 2 cam) mesh (--cam_devices 2):
+    camera-sharded lift + BEV psum inside the train/eval/predict steps,
+    validation + viz enabled, metrics finite."""
+    result, args = _run(fixture_root, tmp_path, **GRID_64,
+                        bsz=8, n_devices=8, cam_devices=2, viz_step=2,
+                        val_step=2, save_step=0, max_steps=2, nepochs=2)
+    assert result["counter"] == 2
+    recs = [json.loads(l) for l in
+            open(os.path.join(args["logdir"], "metrics.jsonl"))]
+    vals = [r for r in recs if "val/iou" in r]
+    assert vals, "validation must have run on the 2-D mesh"
+    assert all(np.isfinite(r["val/iou"]) for r in vals)
+
+
+def test_cam_devices_validation(tmp_path):
+    """Bad (n_devices, cam_devices, ncams) combos fail fast, before any
+    model init."""
+    log = str(tmp_path / "v")
+    with pytest.raises(ValueError, match="divisible by cam_devices"):
+        train("/nonexistent", n_devices=8, cam_devices=3, logdir=log)
+    with pytest.raises(ValueError, match="ncams"):
+        train("/nonexistent", n_devices=8, cam_devices=4, ncams=6,
+              logdir=log)
+
+
 def test_train_with_pretrained_trunk(fixture_root, tmp_path):
     """--pretrained_trunk seeds the camera trunk from an ImageNet-style
     efficientnet_pytorch file before training (reference src/models.py:43)."""

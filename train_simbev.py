@@ -65,6 +65,10 @@ def main():
     # TPU-native extras
     parser.add_argument('--n_devices', type=int, default=None,
                         help='number of chips for data parallelism (default all)')
+    parser.add_argument('--cam_devices', type=int, default=1,
+                        help='camera-axis model-parallel shards: splits the '
+                             'cameras over a 2-D (data, cam) mesh; '
+                             'n_devices/cam_devices become batch shards')
     parser.add_argument('--splat_method', type=str, default='scatter',
                         choices=['scatter', 'sorted', 'pallas'])
     parser.add_argument('--compute_dtype', type=str, default='float32',
@@ -120,6 +124,7 @@ def main():
         wandb_name=args.wandb_name,
         wandb_entity=args.wandb_entity,
         n_devices=args.n_devices,
+        cam_devices=args.cam_devices,
         splat_method=args.splat_method,
         compute_dtype=args.compute_dtype,
         label_mode=args.label_mode,
