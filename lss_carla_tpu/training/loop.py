@@ -82,6 +82,11 @@ def train(
     nworkers: int = 4,
     lr: float = 1e-3,
     weight_decay: float = 1e-7,
+    lr_schedule: str = "constant",     # constant|cosine|linear (reference
+                                       # trains at constant lr; schedules are
+                                       # an opt-in TPU-native extra)
+    warmup_steps: int = 0,
+    decay_steps: int = 0,              # 0 = auto: nepochs * steps/epoch
     # validation config
     val_step: int = 500,
     save_step: int = 1000,
@@ -222,9 +227,20 @@ def train(
         jnp.tile(jnp.eye(3), (1, ncams, 1, 1)),
         jnp.zeros((1, ncams, 3)),
     )
+    if lr_schedule != "constant" and decay_steps <= 0:
+        decay_steps = max(nepochs * len(trainloader), warmup_steps + 1)
+        print(f"  lr schedule: {lr_schedule}, warmup {warmup_steps}, "
+              f"decay over {decay_steps} steps (auto)")
     state = create_train_state(model, init_rng, sample_args, lr=lr,
                                weight_decay=weight_decay,
-                               max_grad_norm=max_grad_norm)
+                               max_grad_norm=max_grad_norm,
+                               lr_schedule=lr_schedule,
+                               warmup_steps=warmup_steps,
+                               decay_steps=decay_steps)
+    lr_fn = None
+    if lr_schedule != "constant" or warmup_steps:
+        from lss_carla_tpu.training.state import make_lr_schedule
+        lr_fn = make_lr_schedule(lr, lr_schedule, warmup_steps, decay_steps)
     n_params = sum(int(np.prod(p.shape)) for p in
                    jax.tree_util.tree_leaves(state.params))
     print(f"Number of trainable parameters: {n_params:,}")
@@ -387,10 +403,13 @@ def train(
                 if iou_log_step and counter % iou_log_step == 0:
                     union = float(metrics["union"])
                     iou = float(metrics["intersect"]) / union if union > 0 else 1.0
-                    logger.scalars(counter, **{
+                    scalars = {
                         "train/iou": iou, "train/epoch": epoch,
                         "train/step_time": t1 - t0,
-                        "train/samples_per_sec": bsz / max(t1 - t0, 1e-9)})
+                        "train/samples_per_sec": bsz / max(t1 - t0, 1e-9)}
+                    if lr_fn is not None:
+                        scalars["train/lr"] = float(lr_fn(counter))
+                    logger.scalars(counter, **scalars)
                     print(f"[{epoch}] step {counter}: "
                           f"loss={float(metrics['loss']):.4f} iou={iou:.4f} "
                           f"step_time={t1 - t0:.3f}s")

@@ -103,3 +103,53 @@ def test_sharded_eval_matches_single_device(state_and_batch):
                                float(single["intersect"]), rtol=1e-6)
     np.testing.assert_allclose(float(sh["union"]), float(single["union"]),
                                rtol=1e-6)
+
+
+def test_lr_schedules():
+    """Opt-in schedules: warmup ramps from 0 to lr, cosine/linear decay to 0
+    at the horizon; constant stays the reference-parity default; bad args
+    fail fast."""
+    import numpy as np
+    import pytest
+    from lss_carla_tpu.training.state import make_lr_schedule
+
+    lr = 1e-3
+    const = make_lr_schedule(lr)
+    assert const(0) == const(10_000) == lr
+
+    for kind in ("cosine", "linear"):
+        s = make_lr_schedule(lr, kind, warmup_steps=100, decay_steps=1000)
+        assert float(s(0)) == 0.0
+        np.testing.assert_allclose(float(s(100)), lr, rtol=1e-6)
+        assert 0.0 < float(s(500)) < lr
+        np.testing.assert_allclose(float(s(1000)), 0.0, atol=lr * 1e-3)
+
+    warm_const = make_lr_schedule(lr, "constant", warmup_steps=50)
+    assert float(warm_const(0)) == 0.0
+    np.testing.assert_allclose(float(warm_const(50)), lr, rtol=1e-6)
+    np.testing.assert_allclose(float(warm_const(5000)), lr, rtol=1e-6)
+
+    with pytest.raises(ValueError, match="decay_steps"):
+        make_lr_schedule(lr, "cosine", warmup_steps=10, decay_steps=5)
+    with pytest.raises(ValueError, match="unknown lr_schedule"):
+        make_lr_schedule(lr, "step")
+
+
+def test_optimizer_with_schedule_updates_params():
+    """The scheduled optimizer produces warmup-scaled updates (near-zero at
+    step 0, full lr later) on a toy parameter."""
+    import jax.numpy as jnp
+    import numpy as np
+    from lss_carla_tpu.training.state import make_optimizer
+
+    tx = make_optimizer(lr=0.1, weight_decay=0.0, max_grad_norm=0.0,
+                        lr_schedule="cosine", warmup_steps=5, decay_steps=50)
+    params = {"w": jnp.ones(3)}
+    grads = {"w": jnp.ones(3)}
+    opt_state = tx.init(params)
+    updates0, opt_state = tx.update(grads, opt_state, params)
+    assert float(jnp.max(jnp.abs(updates0["w"]))) < 1e-8  # lr(0) == 0
+    for _ in range(5):
+        updates, opt_state = tx.update(grads, opt_state, params)
+    # past warmup: Adam-normalized grads scaled by ~lr
+    assert float(jnp.max(jnp.abs(updates["w"]))) > 0.05

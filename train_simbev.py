@@ -65,6 +65,14 @@ def main():
     # TPU-native extras
     parser.add_argument('--n_devices', type=int, default=None,
                         help='number of chips for data parallelism (default all)')
+    parser.add_argument('--lr_schedule', type=str, default='constant',
+                        choices=['constant', 'cosine', 'linear'],
+                        help='learning-rate schedule (reference parity: '
+                             'constant); warmup applies to all')
+    parser.add_argument('--warmup_steps', type=int, default=0)
+    parser.add_argument('--decay_steps', type=int, default=0,
+                        help='schedule horizon in steps (0 = auto: '
+                             'nepochs x steps/epoch)')
     parser.add_argument('--cam_devices', type=int, default=1,
                         help='camera-axis model-parallel shards: splits the '
                              'cameras over a 2-D (data, cam) mesh; '
@@ -125,6 +133,9 @@ def main():
         wandb_entity=args.wandb_entity,
         n_devices=args.n_devices,
         cam_devices=args.cam_devices,
+        lr_schedule=args.lr_schedule,
+        warmup_steps=args.warmup_steps,
+        decay_steps=args.decay_steps,
         splat_method=args.splat_method,
         compute_dtype=args.compute_dtype,
         label_mode=args.label_mode,
