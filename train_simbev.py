@@ -31,6 +31,21 @@ def main():
     parser.add_argument('--final_w', type=int, default=352)
     parser.add_argument('--ncams', type=int, default=6)
 
+    # BEV grid bounds (train() kwargs in the reference; exposed as flags so
+    # the stretch configs are drivable from the CLI)
+    parser.add_argument('--xbound', type=float, nargs=3,
+                        default=(-50.0, 50.0, 0.5),
+                        metavar=('MIN', 'MAX', 'STEP'))
+    parser.add_argument('--ybound', type=float, nargs=3,
+                        default=(-50.0, 50.0, 0.5),
+                        metavar=('MIN', 'MAX', 'STEP'))
+    parser.add_argument('--zbound', type=float, nargs=3,
+                        default=(-10.0, 10.0, 20.0),
+                        metavar=('MIN', 'MAX', 'STEP'))
+    parser.add_argument('--dbound', type=float, nargs=3,
+                        default=(4.0, 45.0, 1.0),
+                        metavar=('MIN', 'MAX', 'STEP'))
+
     parser.add_argument('--logdir', type=str, default='./runs/simbev')
     parser.add_argument('--val_step', type=int, default=500)
     parser.add_argument('--save_step', type=int, default=1000)
@@ -125,6 +140,10 @@ def main():
         bot_pct_lim=tuple(args.bot_pct_lim),
         rot_lim=tuple(args.rot_lim),
         rand_flip=args.rand_flip,
+        xbound=tuple(args.xbound),
+        ybound=tuple(args.ybound),
+        zbound=tuple(args.zbound),
+        dbound=tuple(args.dbound),
         resume=args.resume,
         pretrained_trunk=args.pretrained_trunk,
         use_wandb=args.use_wandb,
