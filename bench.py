@@ -179,30 +179,11 @@ def bench_step(bsz, iters, splat_method, dtype, remat=False, variant="b0",
     }), flush=True)
 
 
-def _wait_for_backend(attempts: int = 6, sleep_s: float = 75.0):
-    """Retry device-backend init with backoff before benchmarking.
-
-    The remote TPU transport can be transiently UNAVAILABLE (observed: the
-    backend took minutes-to-hours to GC a killed client's session). A
-    benchmark artifact is too valuable to lose to a transient — probe in a
-    fresh subprocess (a failed in-process init can poison the backend
-    state) and only proceed once a device answers."""
-    import subprocess
-    import sys
-    for i in range(attempts):
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                capture_output=True, text=True, timeout=240)
-            if r.returncode == 0:
-                return
-        except subprocess.TimeoutExpired:
-            pass  # an init attempt can HANG, not just fail — count it
-        print(f"bench: backend unavailable (attempt {i + 1}/{attempts}); "
-              f"retrying in {sleep_s:.0f}s", file=sys.stderr, flush=True)
-        time.sleep(sleep_s)
-    print("bench: backend never came up; proceeding (will fail loudly)",
-          file=sys.stderr, flush=True)
+def _wait_for_backend():
+    """Benchmark artifacts are too valuable to lose to a transient
+    backend outage (see lss_carla_tpu.utils.backend)."""
+    from lss_carla_tpu.utils.backend import wait_for_backend
+    wait_for_backend()
 
 
 def main():
