@@ -39,7 +39,8 @@ from lss_carla_tpu.utils.checkpoint import CheckpointManager
 def _build(dataroot, bsz=4, nworkers=4, H=None, W=None,
            final_dim=(128, 352), ncams=6, checkpoint: Optional[str] = None,
            best: bool = False, grid_conf: Optional[GridConf] = None,
-           dataset: str = "simbev", version: str = "v1.0-mini", **model_kw):
+           dataset: str = "simbev", version: str = "v1.0-mini",
+           use_ema: bool = False, **model_kw):
     # source dims default per dataset: real nuScenes images are 900x1600 —
     # building the homography against the SimBEV 224x480 dims would scale
     # camera geometry wrong by ~3x (override with H/W for fixtures)
@@ -67,13 +68,21 @@ def _build(dataroot, bsz=4, nworkers=4, H=None, W=None,
         jnp.tile(jnp.eye(3), (1, ncams, 1, 1)),
         jnp.zeros((1, ncams, 3)),
     )
-    state = create_train_state(model, jax.random.PRNGKey(0), sample)
+    # use_ema builds the restore target WITH the EMA subtree so an
+    # EMA-tracking checkpoint's averaged params can be selected; either
+    # way restore_train_state tolerates checkpoints from the other config
+    state = create_train_state(model, jax.random.PRNGKey(0), sample,
+                               ema_decay=1.0 if use_ema else 0.0)
     if checkpoint:
+        from lss_carla_tpu.training.state import restore_train_state
         mgr = CheckpointManager(checkpoint)
-        abstract = jax.tree_util.tree_map(ocp_abstract, state)
-        state, meta = mgr.restore(abstract, best=best)
+        state, meta = restore_train_state(mgr, state, best=best)
         print(f"restored checkpoint step={meta.get('counter')}"
               + (" (best)" if best else ""))
+        if use_ema:
+            # evaluate the averaged model (a no-EMA checkpoint was seeded
+            # ema=params by the tolerant restore, so this is then a no-op)
+            state = state.replace(params=state.ema_params)
     return model, state, trainloader, valloader, grid_conf, aug_conf
 
 
@@ -374,6 +383,9 @@ if __name__ == "__main__":
         sp.add_argument("--checkpoint", default=None)
         sp.add_argument("--best", action="store_true",
                         help="restore the best-by-val-IoU checkpoint")
+        sp.add_argument("--ema", action="store_true",
+                        help="evaluate the checkpoint's EMA params "
+                             "(runs trained with --ema_decay)")
         sp.add_argument("--bsz", type=int, default=2)
         sp.add_argument("--variant", default="b0",
                         choices=("b0", "b1", "b2", "b3", "b4",
@@ -409,6 +421,8 @@ if __name__ == "__main__":
     if a.checkpoint is not None:
         kwargs["checkpoint"] = a.checkpoint
         kwargs["best"] = a.best
+        if a.ema:
+            kwargs["use_ema"] = True
     if a.cmd == "viz_model_preds":
         kwargs.update(dataset=a.dataset, map_folder=a.map_folder,
                       version=a.version)
@@ -417,6 +431,7 @@ if __name__ == "__main__":
                       quantize=a.quantize)
     if a.cmd in ("splat_check", "lidar_check"):
         kwargs.pop("best", None)
+        kwargs.pop("use_ema", None)
     if a.cmd == "lidar_check":
         kwargs.pop("bsz", None)
         kwargs.update(dataset=a.dataset, version=a.version)

@@ -167,9 +167,10 @@ def make_camera_sharded_predict(model, mesh):
     return jax.jit(sharded)
 
 
-def make_camera_sharded_train_step(model, mesh, pos_weight: float = 2.13):
+def make_camera_sharded_train_step(model, mesh, pos_weight: float = 2.13,
+                                   ema_decay: float = 0.0):
     """2-D (data, cam) train step; same contract as
-    ``parallel.step.make_sharded_train_step``."""
+    ``parallel.step.make_sharded_train_step`` (incl. optional EMA)."""
     rep = P()
     cam_spec = P(DATA_AXIS, CAM_AXIS)
     label_spec = P(DATA_AXIS)
@@ -202,6 +203,9 @@ def make_camera_sharded_train_step(model, mesh, pos_weight: float = 2.13):
         new_bs = _reduce_stats(new_bs)
 
         state = state.apply_gradients(grads=grads).replace(batch_stats=new_bs)
+        if ema_decay > 0:
+            from lss_carla_tpu.training.state import ema_update
+            state = ema_update(state, ema_decay)
         intersect, union = get_batch_iou_counts(logits, binimgs)
         metrics = {
             "loss": loss,

@@ -24,12 +24,16 @@ from lss_carla_tpu.parallel.mesh import DATA_AXIS
 from lss_carla_tpu.training.loss import (bce_with_logits,
                                          get_batch_iou_counts,
                                          masked_eval_metrics)
+from lss_carla_tpu.training.state import ema_update
 
 
-def make_sharded_train_step(model, mesh, pos_weight: float = 2.13):
+def make_sharded_train_step(model, mesh, pos_weight: float = 2.13,
+                            ema_decay: float = 0.0):
     """Returns train_step(state, batch, rng) -> (state, metrics); batch is
     sharded on its leading axis over the mesh, state is replicated, and
-    metrics {loss, intersect, union} are global (already reduced)."""
+    metrics {loss, intersect, union} are global (already reduced).
+    ``ema_decay > 0`` maintains ``state.ema_params``: elementwise math on
+    post-pmean (replicated) params, so it stays replicated shard-free."""
 
     batch_spec = P(DATA_AXIS)
     rep = P()
@@ -55,6 +59,8 @@ def make_sharded_train_step(model, mesh, pos_weight: float = 2.13):
         new_bs = jax.lax.pmean(new_bs, DATA_AXIS)
 
         state = state.apply_gradients(grads=grads).replace(batch_stats=new_bs)
+        if ema_decay > 0:
+            state = ema_update(state, ema_decay)
         intersect, union = get_batch_iou_counts(logits, binimgs)
         metrics = {
             "loss": loss,

@@ -87,6 +87,11 @@ def train(
                                        # an opt-in TPU-native extra)
     warmup_steps: int = 0,
     decay_steps: int = 0,              # 0 = auto: nepochs * steps/epoch
+    ema_decay: float = 0.0,            # >0 (e.g. 0.999): maintain an EMA of
+                                       # the params; validation, best-IoU
+                                       # tracking and the val figure then use
+                                       # the smoothed model (checkpoints
+                                       # carry both raw and EMA params)
     # validation config
     val_step: int = 500,
     save_step: int = 1000,
@@ -231,12 +236,16 @@ def train(
         decay_steps = max(nepochs * len(trainloader), warmup_steps + 1)
         print(f"  lr schedule: {lr_schedule}, warmup {warmup_steps}, "
               f"decay over {decay_steps} steps (auto)")
+    if ema_decay:
+        print(f"  EMA tracking on (decay {ema_decay}): validation and "
+              "best-IoU use the averaged params")
     state = create_train_state(model, init_rng, sample_args, lr=lr,
                                weight_decay=weight_decay,
                                max_grad_norm=max_grad_norm,
                                lr_schedule=lr_schedule,
                                warmup_steps=warmup_steps,
-                               decay_steps=decay_steps)
+                               decay_steps=decay_steps,
+                               ema_decay=ema_decay)
     lr_fn = None
     if lr_schedule != "constant" or warmup_steps:
         from lss_carla_tpu.training.state import make_lr_schedule
@@ -255,7 +264,13 @@ def train(
             {"params": jax.device_get(state.params),
              "batch_stats": jax.device_get(state.batch_stats)}, trunk)
         state = state.replace(params=merged["params"],
-                              batch_stats=merged["batch_stats"])
+                              batch_stats=merged["batch_stats"],
+                              # re-seed the EMA: it was seeded from the
+                              # random init before the trunk merge (copy,
+                              # not alias — the train step donates both)
+                              ema_params=(jax.tree_util.tree_map(
+                                  jnp.copy, merged["params"])
+                                  if state.ema_params is not None else None))
         print(f"Loaded pretrained trunk from {pretrained_trunk}")
 
     ckpt = CheckpointManager(os.path.join(logdir, "ckpts"))
@@ -263,8 +278,8 @@ def train(
     if resume is not None:
         mgr = ckpt if os.path.abspath(resume) == ckpt.directory else \
             CheckpointManager(resume)
-        abstract = jax.tree_util.tree_map(ocp_abstract, state)
-        state, meta = mgr.restore(abstract)
+        from lss_carla_tpu.training.state import restore_train_state
+        state, meta = restore_train_state(mgr, state)
         counter = int(meta.get("counter", 0))
         start_epoch = int(meta.get("epoch", 0))
         # periodic/preemption checkpoint meta carries no val_iou; without
@@ -286,20 +301,28 @@ def train(
             make_mesh_2d, shard_batch_2d)
         mesh = make_mesh_2d(n_data, cam_devices)
         state = replicate(mesh, state)
-        train_fn = make_camera_sharded_train_step(model, mesh, pos_weight)
+        train_fn = make_camera_sharded_train_step(model, mesh, pos_weight,
+                                                  ema_decay=ema_decay)
         eval_fn = make_camera_sharded_eval_step(model, mesh, pos_weight)
         device_put = lambda b: shard_batch_2d(mesh, b)  # noqa: E731
     elif use_mesh:
         mesh = make_mesh(n_devices)
         state = replicate(mesh, state)
-        train_fn = make_sharded_train_step(model, mesh, pos_weight)
+        train_fn = make_sharded_train_step(model, mesh, pos_weight,
+                                           ema_decay=ema_decay)
         eval_fn = make_sharded_eval_step(model, mesh, pos_weight)
         sharding = batch_sharding(mesh)
         device_put = lambda b: jax.device_put(b, sharding)  # noqa: E731
     else:
-        train_fn = make_train_step(model, pos_weight)
+        train_fn = make_train_step(model, pos_weight, ema_decay=ema_decay)
         eval_fn = make_eval_step(model, pos_weight)
         device_put = jax.device_put
+
+    def eval_state_of(s):
+        """State whose params validation/val-viz should read: the EMA
+        average when tracked (the model that would be served), else the
+        raw training params."""
+        return s.replace(params=s.ema_params) if ema_decay else s
 
     predict_fn = None
     viz_val_batch = None  # fetched once, mesh-placed once, reused forever
@@ -439,7 +462,8 @@ def train(
 
                 if val_step and counter % val_step == 0:
                     val_info = get_val_info(
-                        eval_fn, state, valloader, device_put=device_put,
+                        eval_fn, eval_state_of(state), valloader,
+                        device_put=device_put,
                         heartbeat=watchdog.beat if watchdog else None)
                     logger.scalars(counter, **{"val/loss": val_info["loss"],
                                                "val/iou": val_info["iou"]})
@@ -451,7 +475,7 @@ def train(
                         try:
                             from lss_carla_tpu.utils.viz import make_bev_figure
                             vb = viz_val_batch  # cached, already mesh-placed
-                            logits = predict_fn(state, vb[:6])
+                            logits = predict_fn(eval_state_of(state), vb[:6])
                             pred = np.asarray(jax.nn.sigmoid(logits[0, 0]))
                             fig = make_bev_figure(
                                 np.asarray(vb[0][0]), np.asarray(vb[6][0, 0]),
@@ -521,6 +545,5 @@ def train(
     return {"counter": counter, "best_val_iou": best_val_iou, "state": state}
 
 
-def ocp_abstract(x):
-    """Abstract (shape/dtype/sharding-free) leaf for orbax restore targets."""
-    return jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x))
+# re-exported for callers (explore.py imports it from here)
+from lss_carla_tpu.utils.checkpoint import ocp_abstract  # noqa: E402,F401

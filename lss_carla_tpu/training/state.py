@@ -16,12 +16,33 @@ from __future__ import annotations
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import optax
 from flax.training import train_state as flax_train_state
 
 
 class TrainState(flax_train_state.TrainState):
     batch_stats: Any = None
+    # Exponential moving average of ``params`` (None = EMA tracking off).
+    # A params-shaped pytree updated by the train steps when built with
+    # ``ema_decay > 0``; validation/serving read it for the smoothed model.
+    # None is an empty pytree subtree, so checkpoints written without EMA
+    # keep their exact saved structure.
+    ema_params: Any = None
+
+
+def ema_update(state: TrainState, decay: float) -> TrainState:
+    """One EMA step over the (already updated) ``state.params``.
+
+    ``ema <- decay * ema + (1 - decay) * params``, initialized at the
+    step-0 params by ``create_train_state`` (no zero-init bias, so no
+    debiasing term is needed). Pure elementwise math on replicated values —
+    safe inside ``shard_map`` without any reduction.
+    """
+    new_ema = jax.tree_util.tree_map(
+        lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
+        state.ema_params, state.params)
+    return state.replace(ema_params=new_ema)
 
 
 def make_lr_schedule(lr: float, lr_schedule: str = "constant",
@@ -72,21 +93,64 @@ def create_train_state(model, rng, sample_args, lr: float = 1e-3,
                        weight_decay: float = 1e-7,
                        max_grad_norm: float = 5.0,
                        lr_schedule: str = "constant", warmup_steps: int = 0,
-                       decay_steps: int = 0) -> TrainState:
+                       decay_steps: int = 0,
+                       ema_decay: float = 0.0) -> TrainState:
     """Initialize model variables and wrap them in a TrainState.
 
     sample_args: tuple (x, rots, trans, intrins, post_rots, post_trans) of
     example (possibly zero) arrays defining shapes.
+    ``ema_decay > 0`` seeds ``ema_params`` with a copy of the initial
+    params (the train steps then maintain the average; see ``ema_update``).
     """
     # jit the init: eager init dispatches hundreds of tiny ops (slow over
     # remote-device transports); jitted it is one compiled program
     init_fn = jax.jit(
         lambda r, *a: model.init({"params": r}, *a, train=False))
     variables = init_fn(rng, *sample_args)
+    params = variables["params"]
     return TrainState.create(
         apply_fn=model.apply,
-        params=variables["params"],
+        params=params,
         batch_stats=variables.get("batch_stats", {}),
+        # a REAL copy, not an alias: the train steps donate the whole state,
+        # and donating params and ema_params as the same buffer is an error
+        # ("attempt to donate the same buffer twice")
+        ema_params=(jax.tree_util.tree_map(jnp.copy, params)
+                    if ema_decay > 0 else None),
         tx=make_optimizer(lr, weight_decay, max_grad_norm,
                           lr_schedule, warmup_steps, decay_steps),
     )
+
+
+def restore_train_state(mgr, state: TrainState, step=None, best: bool = False):
+    """Restore ``state`` from a CheckpointManager, tolerant of EMA-tracking
+    mismatches between this run's config and the checkpoint (both ways):
+
+    * run tracks EMA, checkpoint predates it -> restore without the EMA
+      subtree and seed EMA from the restored params;
+    * run has EMA off, checkpoint carries it -> restore with the subtree
+      (its leaves are params-shaped) and drop it.
+
+    Returns ``(state, meta)`` like ``CheckpointManager.restore``.
+    """
+    from lss_carla_tpu.utils.checkpoint import ocp_abstract
+    abstract = jax.tree_util.tree_map(ocp_abstract, state)
+    try:
+        return mgr.restore(abstract, step=step, best=best)
+    except Exception as exc:
+        params_abs = jax.tree_util.tree_map(ocp_abstract, state.params)
+        try:
+            if state.ema_params is not None:
+                alt = abstract.replace(ema_params=None)
+                restored, meta = mgr.restore(alt, step=step, best=best)
+                print("checkpoint has no EMA params; seeding EMA from the "
+                      "restored params")
+                seed = jax.tree_util.tree_map(jnp.copy, restored.params)
+                return restored.replace(ema_params=seed), meta
+            alt = abstract.replace(ema_params=params_abs)
+            restored, meta = mgr.restore(alt, step=step, best=best)
+            print("checkpoint carries EMA params this run does not track; "
+                  "dropped")
+            return restored.replace(ema_params=None), meta
+        except Exception:
+            raise exc  # mismatch wasn't about EMA — surface the real error

@@ -14,14 +14,18 @@ import jax.numpy as jnp
 from lss_carla_tpu.training.loss import (bce_with_logits,
                                          get_batch_iou_counts,
                                          masked_eval_metrics)
+from lss_carla_tpu.training.state import ema_update
 
 
-def make_train_step(model, pos_weight: float = 2.13, jit: bool = True):
+def make_train_step(model, pos_weight: float = 2.13, jit: bool = True,
+                    ema_decay: float = 0.0):
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
     batch is the reference 7-tuple
     (imgs, rots, trans, intrins, post_rots, post_trans, binimgs).
     metrics = {loss, intersect, union} as device scalars.
+    ``ema_decay > 0`` maintains ``state.ema_params`` (which must have been
+    seeded by ``create_train_state(..., ema_decay=...)``).
     """
 
     def train_step(state, batch, rng):
@@ -38,6 +42,8 @@ def make_train_step(model, pos_weight: float = 2.13, jit: bool = True):
         (loss, (logits, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         state = state.apply_gradients(grads=grads).replace(batch_stats=new_bs)
+        if ema_decay > 0:
+            state = ema_update(state, ema_decay)
         intersect, union = get_batch_iou_counts(logits, binimgs)
         metrics = {"loss": loss, "intersect": intersect, "union": union}
         return state, metrics

@@ -18,6 +18,13 @@ from typing import Any, Optional, Tuple
 import orbax.checkpoint as ocp
 
 
+def ocp_abstract(x):
+    """Abstract (shape/dtype/sharding-free) leaf for orbax restore targets."""
+    import jax
+    import jax.numpy as jnp
+    return jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x))
+
+
 class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 5):
         self.directory = os.path.abspath(directory)

@@ -1,0 +1,139 @@
+"""EMA parameter averaging (``--ema_decay``): update math against a manual
+recursion, sharded-step replication, and checkpoint tolerance in both
+directions (EMA run <-> non-EMA checkpoint). No reference equivalent — a
+TPU-native training extra (docs/PARITY.md "New TPU-native capability").
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lss_carla_tpu.training import create_train_state, make_train_step
+from lss_carla_tpu.training.state import restore_train_state
+from lss_carla_tpu.utils.checkpoint import CheckpointManager
+
+from util import tiny_batch, tiny_model
+
+DECAY = 0.5  # large (1 - decay) so drift is far above test tolerance
+
+
+@pytest.fixture(scope="module")
+def model_state_batch():
+    model = tiny_model()
+    rng = np.random.default_rng(0)
+    batch = tuple(jnp.asarray(a) for a in tiny_batch(rng))
+    state = create_train_state(model, jax.random.PRNGKey(0), batch[:6],
+                               ema_decay=DECAY)
+    return model, state, batch
+
+
+def _copy(tree):
+    return jax.tree_util.tree_map(jnp.copy, tree)
+
+
+def test_ema_seeded_at_init(model_state_batch):
+    _, state, _ = model_state_batch
+    assert state.ema_params is not None
+    for e, p in zip(jax.tree_util.tree_leaves(state.ema_params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(e), np.asarray(p))
+
+
+def test_ema_off_by_default(model_state_batch):
+    model, _, batch = model_state_batch
+    state = create_train_state(model, jax.random.PRNGKey(0), batch[:6])
+    assert state.ema_params is None
+    step = make_train_step(model, jit=False)
+    state2, _ = step(state, batch, jax.random.PRNGKey(1))
+    assert state2.ema_params is None
+
+
+def test_donated_step_accepts_freshly_created_state(model_state_batch):
+    """create_train_state must COPY params into the EMA seed, not alias:
+    the jitted step donates the whole state, and two tree leaves sharing a
+    buffer fail with "attempt to donate the same buffer twice"."""
+    model, _, batch = model_state_batch
+    state = create_train_state(model, jax.random.PRNGKey(0), batch[:6],
+                               ema_decay=DECAY)
+    step = make_train_step(model, ema_decay=DECAY)
+    s2, _ = step(state, batch, jax.random.PRNGKey(0))
+    assert s2.ema_params is not None
+
+
+def test_ema_matches_manual_recursion(model_state_batch):
+    model, state, batch = model_state_batch
+    step = make_train_step(model, ema_decay=DECAY)
+    s = _copy(state)  # the jitted step donates its input
+    expected = _copy(state.params)
+    for i in range(3):
+        s, _ = step(s, batch, jax.random.PRNGKey(i))
+        expected = jax.tree_util.tree_map(
+            lambda e, p: e * DECAY + p * (1.0 - DECAY), expected, s.params)
+    for got, want in zip(jax.tree_util.tree_leaves(s.ema_params),
+                         jax.tree_util.tree_leaves(expected)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-7)
+    # EMA lags the raw params (params moved, average is behind)
+    diffs = [float(jnp.max(jnp.abs(e - p))) for e, p in zip(
+        jax.tree_util.tree_leaves(s.ema_params),
+        jax.tree_util.tree_leaves(s.params))]
+    assert max(diffs) > 0
+
+
+def test_sharded_step_keeps_ema_replicated(model_state_batch):
+    from lss_carla_tpu.parallel import (make_mesh, make_sharded_train_step,
+                                        replicate, shard_batch)
+    model, state, batch = model_state_batch
+    mesh = make_mesh(2)
+    s = replicate(mesh, _copy(state))
+    prev_ema = _copy(state.ema_params)
+    step = make_sharded_train_step(model, mesh, ema_decay=DECAY)
+    s, _ = step(s, shard_batch(mesh, batch), jax.random.PRNGKey(0))
+    expected = jax.tree_util.tree_map(
+        lambda e, p: e * DECAY + np.asarray(p) * (1.0 - DECAY),
+        prev_ema, s.params)
+    for got, want in zip(jax.tree_util.tree_leaves(s.ema_params),
+                         jax.tree_util.tree_leaves(expected)):
+        got = np.asarray(got)
+        np.testing.assert_allclose(got, np.asarray(want),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_checkpoint_roundtrip_and_mismatch_tolerance(model_state_batch,
+                                                     tmp_path):
+    model, state, batch = model_state_batch
+    step = make_train_step(model, ema_decay=DECAY)
+    s, _ = step(_copy(state), batch, jax.random.PRNGKey(0))  # ema != params
+
+    mgr = CheckpointManager(str(tmp_path / "ema_ckpt"))
+    mgr.save(1, s, epoch=0)
+
+    # exact round-trip: EMA target <- EMA checkpoint
+    target = create_train_state(model, jax.random.PRNGKey(0), batch[:6],
+                                ema_decay=DECAY)
+    restored, meta = restore_train_state(mgr, target)
+    assert meta["counter"] == 1
+    for got, want in zip(jax.tree_util.tree_leaves(restored.ema_params),
+                         jax.tree_util.tree_leaves(s.ema_params)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # non-EMA run <- EMA checkpoint: subtree dropped, params intact
+    target_plain = create_train_state(model, jax.random.PRNGKey(0), batch[:6])
+    restored2, _ = restore_train_state(mgr, target_plain)
+    assert restored2.ema_params is None
+    for got, want in zip(jax.tree_util.tree_leaves(restored2.params),
+                         jax.tree_util.tree_leaves(s.params)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # EMA run <- non-EMA checkpoint: EMA seeded from the restored params
+    mgr2 = CheckpointManager(str(tmp_path / "plain_ckpt"))
+    s_plain = s.replace(ema_params=None)
+    mgr2.save(1, s_plain, epoch=0)
+    restored3, _ = restore_train_state(mgr2, target)
+    for got, want in zip(jax.tree_util.tree_leaves(restored3.ema_params),
+                         jax.tree_util.tree_leaves(s_plain.params)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    mgr.close()
+    mgr2.close()

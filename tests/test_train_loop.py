@@ -152,3 +152,28 @@ def test_max_steps_stop_records_true_epoch_and_best_iou(fixture_root,
                       resume=ckdir)
     assert result2["counter"] == 4
     assert result2["best_val_iou"] >= result["best_val_iou"]
+
+
+def test_train_with_ema_validates_and_resumes(fixture_root, tmp_path):
+    """--ema_decay: the loop maintains EMA params, validation runs on the
+    averaged model, the checkpoint carries both trees, and a resume with
+    EMA still on restores them exactly."""
+    import jax
+    import numpy as np
+
+    result, args = _run(fixture_root, tmp_path, **GRID_64, ema_decay=0.9)
+    assert result["counter"] == 2
+    st = result["state"]
+    assert st.ema_params is not None
+    # after 2 steps the average must lag the raw params
+    diffs = [float(np.max(np.abs(np.asarray(e) - np.asarray(p)))) for e, p in
+             zip(jax.tree_util.tree_leaves(st.ema_params),
+                 jax.tree_util.tree_leaves(st.params))]
+    assert max(diffs) > 0
+
+    result2, _ = _run(
+        fixture_root, tmp_path, **GRID_64, ema_decay=0.9,
+        resume=os.path.join(args["logdir"], "ckpts"),
+        max_steps=4, nepochs=2)
+    assert result2["counter"] == 4
+    assert result2["state"].ema_params is not None

@@ -88,6 +88,10 @@ def main():
     parser.add_argument('--decay_steps', type=int, default=0,
                         help='schedule horizon in steps (0 = auto: '
                              'nepochs x steps/epoch)')
+    parser.add_argument('--ema_decay', type=float, default=0.0,
+                        help='>0 (e.g. 0.999): keep an exponential moving '
+                             'average of the params; validation/best-IoU '
+                             'use the averaged model')
     parser.add_argument('--cam_devices', type=int, default=1,
                         help='camera-axis model-parallel shards: splits the '
                              'cameras over a 2-D (data, cam) mesh; '
@@ -155,6 +159,7 @@ def main():
         lr_schedule=args.lr_schedule,
         warmup_steps=args.warmup_steps,
         decay_steps=args.decay_steps,
+        ema_decay=args.ema_decay,
         splat_method=args.splat_method,
         compute_dtype=args.compute_dtype,
         label_mode=args.label_mode,
