@@ -156,6 +156,30 @@ class DataLoader:
             executor.shutdown(wait=False, cancel_futures=True)
 
 
+def stack_microbatches(iterator, accum_steps: int):
+    """Group ``accum_steps`` consecutive host batches and stack each tuple
+    element along a new leading axis: (B, ...) -> (accum_steps, B, ...).
+
+    Feeds the gradient-accumulation train step (``make_train_step(...,
+    accum_steps=A)``): one device transfer and one jitted step per A
+    microbatches. A ragged tail (fewer than ``accum_steps`` batches left in
+    the epoch) is DROPPED — the step's scan length is static, and the
+    reference's train loader drops ragged tails the same way
+    (``drop_last=True``, reference ``data_simbev.py:341``).
+    """
+    if accum_steps <= 1:
+        yield from iterator
+        return
+    import itertools
+    it = iter(iterator)
+    while True:
+        group = list(itertools.islice(it, accum_steps))
+        if len(group) < accum_steps:
+            return
+        yield tuple(np.stack([g[j] for g in group])
+                    for j in range(len(group[0])))
+
+
 def prefetch_to_device(iterator, size: int = 2, device_put=None):
     """Wrap a host batch iterator with an N-deep prefetch queue; device
     placement happens on the CONSUMER thread.

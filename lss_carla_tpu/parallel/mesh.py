@@ -32,6 +32,12 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def microbatched_sharding(mesh: Mesh) -> NamedSharding:
+    """(accum_steps, B, ...) stacks: microbatch axis replicated, batch axis
+    sharded — the placement the gradient-accumulation sharded step expects."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -28,31 +28,33 @@ from lss_carla_tpu.training.state import ema_update
 
 
 def make_sharded_train_step(model, mesh, pos_weight: float = 2.13,
-                            ema_decay: float = 0.0):
+                            ema_decay: float = 0.0, accum_steps: int = 1):
     """Returns train_step(state, batch, rng) -> (state, metrics); batch is
     sharded on its leading axis over the mesh, state is replicated, and
     metrics {loss, intersect, union} are global (already reduced).
     ``ema_decay > 0`` maintains ``state.ema_params``: elementwise math on
-    post-pmean (replicated) params, so it stays replicated shard-free."""
+    post-pmean (replicated) params, so it stays replicated shard-free.
+    ``accum_steps > 1``: gradient accumulation — batch leaves carry a
+    LEADING (accum_steps, ...) microbatch axis (replicated) with the batch
+    axis second (sharded); each chip scans its shard's microbatches, then
+    one pmean reduces the accumulated grads (A× fewer collectives than
+    stepping per microbatch)."""
 
-    batch_spec = P(DATA_AXIS)
+    batch_spec = P(None, DATA_AXIS) if accum_steps > 1 else P(DATA_AXIS)
     rep = P()
 
     def step(state, batch, rng):
-        imgs, rots, trans, intrins, post_rots, post_trans, binimgs = batch
         # decorrelate dropout across chips
         rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
 
-        def loss_fn(params):
-            out, muts = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                imgs, rots, trans, intrins, post_rots, post_trans, train=True,
-                rngs={"dropout": rng}, mutable=["batch_stats"])
-            loss = bce_with_logits(out, binimgs, pos_weight)
-            return loss, (out, muts["batch_stats"])
-
-        (loss, (logits, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        if accum_steps > 1:
+            from lss_carla_tpu.training.step import accum_scan
+            grads, loss, new_bs, intersect, union = accum_scan(
+                state, batch, rng, pos_weight, accum_steps)
+        else:
+            from lss_carla_tpu.training.step import _micro_grads
+            grads, loss, new_bs, _, intersect, union = _micro_grads(
+                state, state.batch_stats, batch, rng, pos_weight)
 
         grads = jax.lax.pmean(grads, DATA_AXIS)
         loss = jax.lax.pmean(loss, DATA_AXIS)
@@ -61,7 +63,6 @@ def make_sharded_train_step(model, mesh, pos_weight: float = 2.13,
         state = state.apply_gradients(grads=grads).replace(batch_stats=new_bs)
         if ema_decay > 0:
             state = ema_update(state, ema_decay)
-        intersect, union = get_batch_iou_counts(logits, binimgs)
         metrics = {
             "loss": loss,
             "intersect": jax.lax.psum(intersect, DATA_AXIS),

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from lss_carla_tpu.configs import DataAugConf, GridConf
-from lss_carla_tpu.data.loader import compile_data, prefetch_to_device
+from lss_carla_tpu.data.loader import (compile_data, prefetch_to_device,
+                                       stack_microbatches)
 from lss_carla_tpu.models.lss import compile_model
 from lss_carla_tpu.parallel.mesh import batch_sharding, make_mesh, replicate
 from lss_carla_tpu.parallel.step import (make_sharded_eval_step,
@@ -92,6 +93,11 @@ def train(
                                        # tracking and the val figure then use
                                        # the smoothed model (checkpoints
                                        # carry both raw and EMA params)
+    accum_steps: int = 1,              # >1: gradient accumulation — each
+                                       # optimizer step scans accum_steps
+                                       # loader batches (effective batch
+                                       # bsz*accum_steps) without the
+                                       # per-step memory cliff (ROADMAP 3)
     # validation config
     val_step: int = 500,
     save_step: int = 1000,
@@ -154,6 +160,11 @@ def train(
     n_devices = min(n_devices, len(devices))
     use_mesh = n_devices > 1
     cam_devices = max(1, int(cam_devices))
+    accum_steps = max(1, int(accum_steps))
+    if accum_steps > 1 and cam_devices > 1:
+        raise ValueError("accum_steps > 1 is not supported together with "
+                         "cam_devices > 1 (accumulate on the data axis or "
+                         "shard cameras, not both)")
     if cam_devices > 1:
         if n_devices % cam_devices != 0:
             raise ValueError(f"n_devices={n_devices} must be divisible by "
@@ -233,7 +244,10 @@ def train(
         jnp.zeros((1, ncams, 3)),
     )
     if lr_schedule != "constant" and decay_steps <= 0:
-        decay_steps = max(nepochs * len(trainloader), warmup_steps + 1)
+        # optimizer steps per epoch (accumulation folds accum_steps loader
+        # batches into one update)
+        decay_steps = max(nepochs * (len(trainloader) // accum_steps),
+                          warmup_steps + 1)
         print(f"  lr schedule: {lr_schedule}, warmup {warmup_steps}, "
               f"decay over {decay_steps} steps (auto)")
     if ema_decay:
@@ -309,14 +323,25 @@ def train(
         mesh = make_mesh(n_devices)
         state = replicate(mesh, state)
         train_fn = make_sharded_train_step(model, mesh, pos_weight,
-                                           ema_decay=ema_decay)
+                                           ema_decay=ema_decay,
+                                           accum_steps=accum_steps)
         eval_fn = make_sharded_eval_step(model, mesh, pos_weight)
         sharding = batch_sharding(mesh)
         device_put = lambda b: jax.device_put(b, sharding)  # noqa: E731
     else:
-        train_fn = make_train_step(model, pos_weight, ema_decay=ema_decay)
+        train_fn = make_train_step(model, pos_weight, ema_decay=ema_decay,
+                                   accum_steps=accum_steps)
         eval_fn = make_eval_step(model, pos_weight)
         device_put = jax.device_put
+
+    # train batches are (accum_steps, B, ...) stacks when accumulating:
+    # microbatch axis replicated, batch axis sharded (val keeps device_put)
+    device_put_train = device_put
+    if accum_steps > 1 and use_mesh:
+        from lss_carla_tpu.parallel.mesh import microbatched_sharding
+        mb_sharding = microbatched_sharding(mesh)
+        device_put_train = \
+            lambda b: jax.device_put(b, mb_sharding)  # noqa: E731
 
     def eval_state_of(s):
         """State whose params validation/val-viz should read: the EMA
@@ -399,8 +424,9 @@ def train(
                 # resume-correct shuffling: epoch e always draws shuffle
                 # order seed+e, whether reached directly or via --resume
                 trainloader.set_epoch(epoch)
-            it = prefetch_to_device(iter(trainloader), size=2,
-                                    device_put=device_put)
+            it = prefetch_to_device(
+                stack_microbatches(iter(trainloader), accum_steps),
+                size=2, device_put=device_put_train)
             for batch in it:
                 if counter == 0:
                     print("first batch on device; compiling the train step "
@@ -429,7 +455,8 @@ def train(
                     scalars = {
                         "train/iou": iou, "train/epoch": epoch,
                         "train/step_time": t1 - t0,
-                        "train/samples_per_sec": bsz / max(t1 - t0, 1e-9)}
+                        "train/samples_per_sec":
+                            bsz * accum_steps / max(t1 - t0, 1e-9)}
                     if lr_fn is not None:
                         scalars["train/lr"] = float(lr_fn(counter))
                     logger.scalars(counter, **scalars)
@@ -447,11 +474,16 @@ def train(
                         union = float(metrics["union"])
                         viz_iou = (float(metrics["intersect"]) / union
                                    if union > 0 else 1.0)
-                        logits = predict_fn(state, batch[:6])
+                        # accumulation stacks (A, B, ...): viz microbatch 0
+                        # (the slice keeps the per-microbatch sharding the
+                        # warmed predict_fn was compiled for)
+                        vbt = batch if accum_steps == 1 else \
+                            tuple(x[0] for x in batch)
+                        logits = predict_fn(state, vbt[:6])
                         pred = np.asarray(jax.nn.sigmoid(logits[0, 0]))
                         fig = make_bev_figure(
-                            np.asarray(batch[0][0]),
-                            np.asarray(batch[6][0, 0]), pred,
+                            np.asarray(vbt[0][0]),
+                            np.asarray(vbt[6][0, 0]), pred,
                             title=f"Training iter {counter} | "
                                   f"IoU {viz_iou:.4f}")
                         logger.figure(counter, "train/visualization", fig)

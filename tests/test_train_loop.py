@@ -177,3 +177,13 @@ def test_train_with_ema_validates_and_resumes(fixture_root, tmp_path):
         max_steps=4, nepochs=2)
     assert result2["counter"] == 4
     assert result2["state"].ema_params is not None
+
+
+def test_train_with_accum_steps(fixture_root, tmp_path):
+    """--accum_steps 2: each optimizer step consumes two loader batches (8
+    train samples / bsz 2 = 4 batches -> 2 optimizer steps per epoch), and
+    validation/checkpointing run on optimizer-step cadence."""
+    result, args = _run(fixture_root, tmp_path, **GRID_64, accum_steps=2)
+    assert result["counter"] == 2
+    assert int(result["state"].step) == 2
+    assert os.path.exists(os.path.join(args["logdir"], "metrics.jsonl"))

@@ -88,6 +88,10 @@ def main():
     parser.add_argument('--decay_steps', type=int, default=0,
                         help='schedule horizon in steps (0 = auto: '
                              'nepochs x steps/epoch)')
+    parser.add_argument('--accum_steps', type=int, default=1,
+                        help='>1: gradient accumulation — each optimizer '
+                             'step scans N loader batches (effective batch '
+                             'bsz*N) with one update')
     parser.add_argument('--ema_decay', type=float, default=0.0,
                         help='>0 (e.g. 0.999): keep an exponential moving '
                              'average of the params; validation/best-IoU '
@@ -160,6 +164,7 @@ def main():
         warmup_steps=args.warmup_steps,
         decay_steps=args.decay_steps,
         ema_decay=args.ema_decay,
+        accum_steps=args.accum_steps,
         splat_method=args.splat_method,
         compute_dtype=args.compute_dtype,
         label_mode=args.label_mode,
