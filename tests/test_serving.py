@@ -35,3 +35,42 @@ def test_export_load_roundtrip(tmp_path, rng):
     assert served.shape == live.shape
     np.testing.assert_allclose(np.asarray(served), np.asarray(live),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_export_cli_from_checkpoint(tmp_path, rng, monkeypatch, capsys):
+    """python -m lss_carla_tpu.serving: checkpoint -> artifact with the
+    tiny config's grid/aug flags; the artifact must reproduce the live
+    model restored from that checkpoint (incl. --ema selecting the
+    averaged params)."""
+    from lss_carla_tpu.serving import _main
+    from lss_carla_tpu.training import make_train_step
+    from lss_carla_tpu.utils.checkpoint import CheckpointManager
+    from util import tiny_batch
+
+    model = tiny_model()
+    batch = tuple(jnp.asarray(a) for a in tiny_batch(rng, B=1))
+    state = create_train_state(model, jax.random.PRNGKey(0), batch[:6],
+                               ema_decay=0.5)
+    # one train step so EMA != params (the CLI's --ema must pick EMA)
+    state, _ = make_train_step(model, ema_decay=0.5)(
+        state, batch, jax.random.PRNGKey(1))
+    ck = str(tmp_path / "ckpts")
+    mgr = CheckpointManager(ck)
+    mgr.save(1, state, epoch=0)
+    mgr.close()
+
+    out = str(tmp_path / "art.bin")
+    argv = ["serving", "--checkpoint", ck, "--out", out, "--ema",
+            "--H", "64", "--W", "128", "--final_dim", "32", "64",
+            "--xbound", "-40", "40", "5", "--ybound", "-40", "40", "5",
+            "--dbound", "4", "36", "8"]
+    monkeypatch.setattr("sys.argv", argv)
+    _main()
+    assert "ema" in capsys.readouterr().out
+
+    want = model.apply({"params": state.ema_params,
+                        "batch_stats": state.batch_stats},
+                       *batch[:6], train=False)
+    got = load_predict(out)(*batch[:6])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
