@@ -138,15 +138,22 @@ def bench_infer(bsz, iters, dtype, quantize=False, quant_min_channels=64,
 
 
 def bench_step(bsz, iters, splat_method, dtype, remat=False, variant="b0",
-               warmup=1):
-    """Chained-in-jit train-step timing; prints its JSON line."""
+               warmup=1, accum=1):
+    """Chained-in-jit train-step timing; prints its JSON line.
+
+    ``accum > 1``: gradient accumulation — the step scans ``accum`` stacked
+    microbatches of ``bsz`` per optimizer update (effective batch
+    bsz*accum); the reported ms is per OPTIMIZER step."""
     import jax
+    import jax.numpy as jnp
     from lss_carla_tpu.training.step import make_train_step
     _, state, batch = build(bsz, splat_method, dtype, remat, variant)
+    if accum > 1:
+        batch = tuple(jnp.broadcast_to(x, (accum,) + x.shape) for x in batch)
 
     # chain all iterations inside ONE jitted program: a python dispatch loop
     # under-measures on async/remote runtimes even with data dependencies
-    raw_step = make_train_step(None, pos_weight=2.13, jit=False)
+    raw_step = make_train_step(None, pos_weight=2.13, jit=False, accum_steps=accum)
 
     def one(i, st):
         st2, _ = raw_step(st, batch, jax.random.fold_in(
@@ -171,11 +178,14 @@ def bench_step(bsz, iters, splat_method, dtype, remat=False, variant="b0",
     suffix = "" if dtype == "float32" else f"_{dtype}"
     if variant != "b0":
         suffix += f"_{variant}"
+    if accum > 1:
+        suffix += f"_accum{accum}"
+    # vs_baseline scales the 800 ms bsz-8 floor by the effective batch
     print(json.dumps({
         "metric": f"train_step_ms_bsz{bsz}{suffix}",
         "value": round(ms, 3),
         "unit": "ms",
-        "vs_baseline": round(BASELINE_STEP_MS / ms, 3),
+        "vs_baseline": round(BASELINE_STEP_MS * accum / ms, 3),
     }), flush=True)
 
 
@@ -207,6 +217,10 @@ def main():
                             "resnet18", "resnet34"],
                    help="camera trunk; --mode step only — the flagship "
                         "metrics stay b0")
+    p.add_argument("--accum", type=int, default=1,
+                   help=">1: gradient accumulation — scan N stacked "
+                        "microbatches per optimizer step (--mode step "
+                        "only; effective batch bsz*N)")
     p.add_argument("--quantize", action="store_true",
                    help="int8 PTQ convs; --mode infer only")
     p.add_argument("--quant_min_channels", type=int, default=64,
@@ -222,6 +236,8 @@ def main():
     if args.quantize and args.mode != "infer":
         p.error("--quantize only applies to --mode infer (training stays "
                 "in float)")
+    if args.accum > 1 and args.mode != "step":
+        p.error("--accum only applies to --mode step")
     dtype = args.dtype or "bfloat16"
 
     if args.mode != "input":
@@ -234,7 +250,7 @@ def main():
                     args.quant_min_channels, args.variant)
     elif args.mode == "step":
         bench_step(args.bsz, args.iters, args.splat_method, dtype,
-                   args.remat, args.variant, args.warmup)
+                   args.remat, args.variant, args.warmup, args.accum)
     else:  # all: f32 step (reference-parity dtype), inference, and the
         # headline bf16 step LAST so single-line consumers see the headline
         bench_step(args.bsz, args.iters, args.splat_method, "float32",
