@@ -40,8 +40,13 @@ def get_val_info(eval_step, state, valloader, device_put=None,
                  heartbeat=None) -> dict:
     """Run the full val loader; mean loss + dataset-level IoU
     (reference ``src/tools.py:243-270``). ``heartbeat`` is called after
-    each synchronized batch (stall-watchdog feed during long validations)."""
+    each synchronized batch (stall-watchdog feed during long validations).
+
+    For multiclass heads (outC > 1) the result additionally carries
+    ``iou_per_class`` — a list of per-class dataset IoUs (no reference
+    equivalent; its metric is single-class)."""
     total = {"loss_sum": 0.0, "intersect": 0.0, "union": 0.0, "batch": 0.0}
+    i_c = u_c = None
     it = iter(valloader)
     if device_put is not None:
         it = prefetch_to_device(it, size=2, device_put=device_put)
@@ -49,12 +54,21 @@ def get_val_info(eval_step, state, valloader, device_put=None,
         m = eval_step(state, batch)
         for k in total:
             total[k] += float(m[k])
+        if "intersect_c" in m:
+            ic = np.asarray(m["intersect_c"], np.float64)
+            uc = np.asarray(m["union_c"], np.float64)
+            i_c = ic if i_c is None else i_c + ic
+            u_c = uc if u_c is None else u_c + uc
         if heartbeat is not None:
             heartbeat()
     n = max(total["batch"], 1.0)
     union = total["union"]
-    return {"loss": total["loss_sum"] / n,
+    info = {"loss": total["loss_sum"] / n,
             "iou": total["intersect"] / union if union > 0 else 1.0}
+    if i_c is not None and len(i_c) > 1:
+        info["iou_per_class"] = [
+            float(i / u) if u > 0 else 1.0 for i, u in zip(i_c, u_c)]
+    return info
 
 
 def train(
@@ -497,10 +511,15 @@ def train(
                         eval_fn, eval_state_of(state), valloader,
                         device_put=device_put,
                         heartbeat=watchdog.beat if watchdog else None)
-                    logger.scalars(counter, **{"val/loss": val_info["loss"],
-                                               "val/iou": val_info["iou"]})
+                    val_scalars = {"val/loss": val_info["loss"],
+                                   "val/iou": val_info["iou"]}
+                    for ci, v in enumerate(val_info.get("iou_per_class", [])):
+                        val_scalars[f"val/iou_c{ci}"] = v
+                    logger.scalars(counter, **val_scalars)
                     print(f"  validation: loss={val_info['loss']:.4f} "
-                          f"iou={val_info['iou']:.4f}")
+                          f"iou={val_info['iou']:.4f}"
+                          + ("".join(f" c{ci}={v:.3f}" for ci, v in
+                             enumerate(val_info.get("iou_per_class", [])))))
                     if watchdog is not None:
                         watchdog.beat()
                     if predict_fn is not None and viz_val_batch is not None:

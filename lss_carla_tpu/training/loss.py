@@ -60,21 +60,28 @@ def masked_eval_metrics(logits: jnp.ndarray, targets: jnp.ndarray,
     ``src/tools.py:259``) and the IoU counts include only valid samples —
     the whole val set counts exactly once (reference ``tools.py:243-270``
     evaluates the entire set).
+
+    Also returns per-class counts ``intersect_c``/``union_c`` of shape
+    (outC,) — the reference's IoU is single-class (binary vehicle mask);
+    multiclass configs (``--label_mode multiclass``, stretch presets) get a
+    per-class breakdown for free (for outC=1 they equal the scalars).
     """
     logits = logits.astype(jnp.float32)
     targets = targets.astype(jnp.float32)
     valid = valid.astype(jnp.float32)
-    B = logits.shape[0]
+    B, C = logits.shape[0], logits.shape[1]
     elem = _bce_elementwise(logits, targets, pos_weight)
     per_sample_loss = jnp.mean(elem.reshape(B, -1), axis=1)
-    pred = (logits > 0).reshape(B, -1)
-    tgt = targets.astype(bool).reshape(B, -1)
-    per_sample_i = jnp.sum(pred & tgt, axis=1).astype(jnp.float32)
-    per_sample_u = jnp.sum(pred | tgt, axis=1).astype(jnp.float32)
+    pred = (logits > 0).reshape(B, C, -1)
+    tgt = targets.astype(bool).reshape(B, C, -1)
+    i_bc = jnp.sum(pred & tgt, axis=2).astype(jnp.float32)   # (B, C)
+    u_bc = jnp.sum(pred | tgt, axis=2).astype(jnp.float32)   # (B, C)
     return {
         "loss_sum": jnp.sum(per_sample_loss * valid),
-        "intersect": jnp.sum(per_sample_i * valid),
-        "union": jnp.sum(per_sample_u * valid),
+        "intersect": jnp.sum(i_bc * valid[:, None]),
+        "union": jnp.sum(u_bc * valid[:, None]),
+        "intersect_c": jnp.sum(i_bc * valid[:, None], axis=0),
+        "union_c": jnp.sum(u_bc * valid[:, None], axis=0),
         "batch": jnp.sum(valid),
     }
 

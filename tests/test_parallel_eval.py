@@ -118,3 +118,39 @@ def test_masked_eval_metrics_excludes_padding():
     # loss_sum over one valid sample = that sample's mean BCE
     want = float(np.logaddexp(0, -3.0))
     assert float(m_first["loss_sum"]) == pytest.approx(want, rel=1e-6)
+
+
+def test_per_class_iou_counts():
+    """intersect_c/union_c break the counts down by output class (the
+    multiclass stretch configs); scalars stay the class sums."""
+    B, C = 2, 3
+    logits = np.full((B, C, 4, 4), -1.0, np.float32)
+    targets = np.zeros((B, C, 4, 4), np.float32)
+    logits[:, 0, :2, :2] = 1.0          # class 0: perfect quadrant
+    targets[:, 0, :2, :2] = 1.0
+    logits[:, 1, 0, :] = 1.0            # class 1: disjoint pred vs target
+    targets[:, 1, 1, :] = 1.0           # class 2: empty everywhere
+    m = masked_eval_metrics(jnp.asarray(logits), jnp.asarray(targets),
+                            jnp.ones(B), 1.0)
+    np.testing.assert_array_equal(np.asarray(m["intersect_c"]), [8, 0, 0])
+    np.testing.assert_array_equal(np.asarray(m["union_c"]), [8, 16, 0])
+    assert float(m["intersect"]) == 8.0
+    assert float(m["union"]) == 24.0
+    # padding mask applies per class too
+    m1 = masked_eval_metrics(jnp.asarray(logits), jnp.asarray(targets),
+                             jnp.array([1.0, 0.0]), 1.0)
+    np.testing.assert_array_equal(np.asarray(m1["union_c"]), [4, 8, 0])
+
+
+def test_get_val_info_emits_per_class_iou():
+    from lss_carla_tpu.training.loop import get_val_info
+
+    def fake_eval(state, batch):
+        return {"loss_sum": jnp.array(2.0), "intersect": jnp.array(3.0),
+                "union": jnp.array(6.0), "batch": jnp.array(2.0),
+                "intersect_c": jnp.array([1.0, 2.0]),
+                "union_c": jnp.array([2.0, 8.0])}
+
+    info = get_val_info(fake_eval, None, [object(), object()])
+    assert info["iou"] == 0.5
+    assert info["iou_per_class"] == [0.5, 0.25]
