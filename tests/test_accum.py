@@ -15,6 +15,8 @@ from lss_carla_tpu.training.step import _micro_grads
 
 from util import tiny_batch, tiny_model
 
+pytestmark = pytest.mark.slow  # full-model (tiny-config) CPU compiles
+
 
 def test_stack_microbatches_shapes_and_ragged_tail():
     rng = np.random.default_rng(0)

@@ -15,6 +15,8 @@ from lss_carla_tpu.utils.checkpoint import CheckpointManager
 
 from util import tiny_batch, tiny_model
 
+pytestmark = pytest.mark.slow  # full-model (tiny-config) CPU compiles
+
 DECAY = 0.5  # large (1 - decay) so drift is far above test tolerance
 
 
