@@ -11,6 +11,7 @@ Self-orchestrating: run with no arguments to spawn the workers.
     python scripts/multihost_dryrun.py                 # 2 procs x 4 devices
     python scripts/multihost_dryrun.py --procs 2 --local_devices 4
     python scripts/multihost_dryrun.py --mesh camera   # 2-D (data, cam) mesh
+    python scripts/multihost_dryrun.py --accum 2       # grad accumulation
 
 ``--mesh camera`` runs the camera-axis model-parallel step
 (``parallel/camera.py``) over a global (data, cam) mesh laid out so the
@@ -29,7 +30,7 @@ sys.path.insert(0, str(REPO))
 
 
 def worker(process_id: int, num_processes: int, local_devices: int,
-           port: int, mesh_kind: str = "data"):
+           port: int, mesh_kind: str = "data", accum: int = 1):
     os.environ["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={local_devices}")
     import jax
@@ -99,15 +100,27 @@ def worker(process_id: int, num_processes: int, local_devices: int,
     if mesh_kind == "camera":
         step = make_camera_sharded_train_step(model, mesh, pos_weight=2.13)
     else:
-        step = make_sharded_train_step(model, mesh, pos_weight=2.13)
+        step = make_sharded_train_step(model, mesh, pos_weight=2.13,
+                                       accum_steps=accum)
+    # gradient accumulation stacks (accum, B, ...): microbatch axis
+    # replicated, batch axis sharded — the loop's device_put_train contract
+    mb_shard = NamedSharding(mesh, P(None, DATA_AXIS))
     for i in range(2):
-        lb = local_batch()
-        if mesh_kind == "camera":
+        if accum > 1:
+            group = [local_batch() for _ in range(accum)]
+            lb = tuple(np.stack([g[j] for g in group])
+                       for j in range(len(group[0])))
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(
+                    mb_shard, x), lb)
+        elif mesh_kind == "camera":
+            lb = local_batch()
             batch = tuple(
                 jax.make_array_from_process_local_data(
                     NamedSharding(mesh, spec), x)
                 for spec, x in zip(cam_shard_specs, lb))
         else:
+            lb = local_batch()
             batch = jax.tree_util.tree_map(
                 lambda x: jax.make_array_from_process_local_data(shard, x),
                 lb)
@@ -130,15 +143,21 @@ def main():
     p.add_argument("--local_devices", type=int, default=4)
     p.add_argument("--port", type=int, default=9921)
     p.add_argument("--mesh", default="data", choices=["data", "camera"])
+    p.add_argument("--accum", type=int, default=1,
+                   help=">1: gradient-accumulation step (data mesh only) — "
+                        "validates the (None, data) microbatch sharding "
+                        "across processes")
     p.add_argument("--process_id", type=int, default=None)  # internal
     args = p.parse_args()
 
     if args.mesh == "camera" and (args.procs * args.local_devices) % 2:
         p.error("--mesh camera needs an even global device count (cam=2)")
+    if args.accum > 1 and args.mesh != "data":
+        p.error("--accum requires --mesh data")
 
     if args.process_id is not None:
         worker(args.process_id, args.procs, args.local_devices, args.port,
-               args.mesh)
+               args.mesh, args.accum)
         return
 
     procs = []
@@ -147,7 +166,7 @@ def main():
             [sys.executable, __file__, "--procs", str(args.procs),
              "--local_devices", str(args.local_devices),
              "--port", str(args.port), "--mesh", args.mesh,
-             "--process_id", str(i)],
+             "--accum", str(args.accum), "--process_id", str(i)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
     outputs, failed = [], False
     for i, pr in enumerate(procs):
