@@ -240,6 +240,11 @@ def train(
                             "extrinsic_noise": extrinsic_noise,
                             "device_normalize": device_normalize})
     print(f"Train batches: {len(trainloader)}  Val batches: {len(valloader)}")
+    if accum_steps > len(trainloader):
+        # stack_microbatches drops ragged tails, so every epoch would yield
+        # ZERO optimizer steps — fail loudly instead of training nothing
+        raise ValueError(f"accum_steps={accum_steps} exceeds the "
+                         f"{len(trainloader)} train batches per epoch")
 
     model = compile_model(grid_conf, data_aug_conf, outC=outC,
                           splat_method=splat_method, variant=variant,

@@ -187,3 +187,11 @@ def test_train_with_accum_steps(fixture_root, tmp_path):
     assert result["counter"] == 2
     assert int(result["state"].step) == 2
     assert os.path.exists(os.path.join(args["logdir"], "metrics.jsonl"))
+
+
+def test_accum_exceeding_epoch_batches_fails_fast(fixture_root, tmp_path):
+    """accum_steps > batches/epoch would silently train zero steps (the
+    stacker drops ragged tails) — must raise instead."""
+    import pytest
+    with pytest.raises(ValueError, match="exceeds"):
+        _run(fixture_root, tmp_path, **GRID_64, accum_steps=64)
