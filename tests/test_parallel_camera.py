@@ -172,5 +172,5 @@ def test_eval_step_masked_parity(setup):
     got = eval_step(replicate(mesh, state),
                     shard_batch_2d(mesh, jbatch + (valid,)))
     for k in ref:
-        np.testing.assert_allclose(float(got[k]), float(ref[k]),
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
                                    rtol=1e-4, atol=1e-6, err_msg=k)
