@@ -252,7 +252,8 @@ def prefetch_to_device(iterator, size: int = 2, device_put=None):
 def compile_data(version, dataroot, data_aug_conf, grid_conf, bsz: int,
                  nworkers: int, parser_name: str = "segmentationdata",
                  drop_to_multiple_of: Optional[int] = None,
-                 dataset_kwargs: Optional[dict] = None):
+                 dataset_kwargs: Optional[dict] = None,
+                 shard_index: int = 0, num_shards: int = 1):
     """Reference-parity loader factory (``data_simbev.py:315-354``).
 
     Returns (trainloader, valloader). ``version`` is unused (API compat).
@@ -265,6 +266,9 @@ def compile_data(version, dataroot, data_aug_conf, grid_conf, bsz: int,
     drops anything (pad-and-mask supersedes it).
     ``dataset_kwargs``: extra SimBEVDataset options (orientation,
     extrinsic_noise, label_mode, label_classes).
+    ``shard_index``/``num_shards``: multi-host input sharding — ``bsz`` is
+    the PER-HOST batch size; each host loads its slice of every global
+    batch of ``bsz * num_shards`` samples (equal batch counts guaranteed).
     """
     from lss_carla_tpu.data.simbev import SegmentationData, VizData
     parser = {"vizdata": VizData, "segmentationdata": SegmentationData}[parser_name]
@@ -276,7 +280,9 @@ def compile_data(version, dataroot, data_aug_conf, grid_conf, bsz: int,
                      grid_conf=grid_conf, **dataset_kwargs)
 
     trainloader = DataLoader(traindata, batch_size=bsz, shuffle=True,
-                             drop_last=True, num_workers=nworkers)
+                             drop_last=True, num_workers=nworkers,
+                             shard_index=shard_index, num_shards=num_shards)
     valloader = DataLoader(valdata, batch_size=bsz, shuffle=False,
-                           pad_last=True, num_workers=nworkers)
+                           pad_last=True, num_workers=nworkers,
+                           shard_index=shard_index, num_shards=num_shards)
     return trainloader, valloader

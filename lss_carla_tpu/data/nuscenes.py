@@ -323,8 +323,10 @@ class NuScenesDataset:
 def compile_data_nuscenes(version, dataroot, data_aug_conf, grid_conf,
                           bsz: int, nworkers: int,
                           drop_to_multiple_of: Optional[int] = None,
-                          device_normalize: bool = False):
-    """nuScenes analog of ``compile_data`` (same loader semantics)."""
+                          device_normalize: bool = False,
+                          shard_index: int = 0, num_shards: int = 1):
+    """nuScenes analog of ``compile_data`` (same loader semantics, incl.
+    the per-host ``shard_index``/``num_shards`` multi-host input shards)."""
     from lss_carla_tpu.data.loader import DataLoader
     train_ds = NuScenesDataset(dataroot, True, data_aug_conf, grid_conf,
                                version=version,
@@ -333,7 +335,9 @@ def compile_data_nuscenes(version, dataroot, data_aug_conf, grid_conf,
                              version=version,
                              device_normalize=device_normalize)
     trainloader = DataLoader(train_ds, batch_size=bsz, shuffle=True,
-                             drop_last=True, num_workers=nworkers)
+                             drop_last=True, num_workers=nworkers,
+                             shard_index=shard_index, num_shards=num_shards)
     valloader = DataLoader(val_ds, batch_size=bsz, shuffle=False,
-                           pad_last=True, num_workers=nworkers)
+                           pad_last=True, num_workers=nworkers,
+                           shard_index=shard_index, num_shards=num_shards)
     return trainloader, valloader

@@ -81,6 +81,19 @@ def shard_batch_2d(mesh: Mesh, batch):
     return tuple(placed)
 
 
+def shard_batch_2d_local(mesh: Mesh, batch):
+    """Multi-controller ``shard_batch_2d``: each process contributes its
+    local rows of the global batch (all cameras — the mesh lays the cam
+    axis within a process, see ``scripts/multihost_dryrun.py``)."""
+    cam_sh = cam_batch_sharding(mesh)
+    data_sh = NamedSharding(mesh, P(DATA_AXIS))
+    placed = [jax.make_array_from_process_local_data(cam_sh, np.asarray(x))
+              for x in batch[:6]]
+    placed += [jax.make_array_from_process_local_data(data_sh, np.asarray(x))
+               for x in batch[6:]]
+    return tuple(placed)
+
+
 def _lift_and_decode(state, imgs, rots, trans, intrins, post_rots,
                      post_trans, train, lift_rng=None, decode_rng=None,
                      batch_stats=None, params=None):

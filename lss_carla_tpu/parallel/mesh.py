@@ -52,3 +52,47 @@ def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params/state) across the mesh."""
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+# --- multi-controller (one process per host) placement -------------------
+#
+# In a multi-process run ``jax.device_put(x, sharding)`` cannot place onto
+# non-addressable devices; each process instead contributes its LOCAL slice
+# of the global array via ``jax.make_array_from_process_local_data``. The
+# helpers below are the multihost counterparts of ``shard_batch`` /
+# ``replicate``; with one process they degenerate to the same placement.
+
+def process_barrier(name: str, timeout_ms: int = 1_800_000) -> None:
+    """Cross-process rendezvous on the jax.distributed KV store.
+
+    Unlike a device collective, this tolerates arbitrary skew (default 30
+    min): gloo/ICI rendezvous windows are short (~30 s for gloo TCP), so a
+    process that spends minutes in a cold XLA compile while its peer waits
+    in a collective kills the whole job. Call this to re-align processes
+    before the FIRST cross-process collective after a compile-heavy
+    section. No-op when jax.distributed is not initialized."""
+    from jax._src import distributed
+    client = distributed.global_state.client
+    if client is None:
+        return
+    client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+
+
+def process_local_put(sharding: NamedSharding):
+    """Batch placer for multi-controller runs: each process passes its local
+    shard (e.g. ``bsz // process_count`` rows), the result is the global
+    sharded array."""
+    def put(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), tree)
+    return put
+
+
+def replicate_global(mesh: Mesh, tree):
+    """Replicate host-identical pytrees (params/state initialized with the
+    same seed on every process) across a global mesh."""
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        tree)

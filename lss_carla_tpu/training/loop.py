@@ -129,6 +129,13 @@ def train(
     iou_log_step: int = 100,  # train-IoU/step-time cadence (reference: 100)
     # TPU-native extras (no reference equivalent)
     n_devices: Optional[int] = None,   # total chips in the mesh (None = all)
+    multihost: bool = False,           # multi-controller run: this process is
+                                       # one host of a pod. Initializes
+                                       # jax.distributed (no-op if the
+                                       # launcher already did), loads this
+                                       # host's input shard, assembles global
+                                       # batches, logs/visualizes on process
+                                       # 0 only. bsz is the GLOBAL batch.
     cam_devices: int = 1,              # camera-axis model-parallel shards:
                                        # splits the ncams cameras over a 2-D
                                        # (data, cam) mesh (parallel/camera.py);
@@ -157,6 +164,15 @@ def train(
         raise ValueError("--pretrained_trunk imports efficientnet_pytorch "
                          "weights; no import source exists for the "
                          "resnet trunk variants")
+    if multihost and not jax.distributed.is_initialized():
+        # before any backend/device use; a launcher may have initialized the
+        # cluster already (e.g. scripts/multihost_dryrun.py --cli). No-arg
+        # initialize auto-detects coordinator/process info from the TPU-pod
+        # (or SLURM/k8s) environment.
+        jax.distributed.initialize()
+    n_procs = jax.process_count()
+    proc = jax.process_index()
+    is_primary = proc == 0
     from lss_carla_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache()
     os.makedirs(logdir, exist_ok=True)
@@ -191,12 +207,25 @@ def train(
     if use_mesh and bsz % n_data != 0:
         raise ValueError(f"bsz={bsz} must be divisible by the data-shard "
                          f"count {n_data} (n_devices/cam_devices)")
+    if multihost:
+        if not use_mesh:
+            raise ValueError("--multihost needs a device mesh "
+                             "(n_devices > 1)")
+        if bsz % n_procs != 0 or n_data % n_procs != 0:
+            raise ValueError(
+                f"global bsz={bsz} and data shards={n_data} must both be "
+                f"divisible by the process count {n_procs}")
 
-    logger = MetricLogger(logdir, use_wandb=use_wandb, wandb_kwargs={
-        "project": wandb_project, "name": wandb_name, "entity": wandb_entity,
-        "config": {"bsz": bsz, "lr": lr, "grid_conf": grid_conf.to_dict(),
-                   "data_aug_conf": data_aug_conf.to_dict(),
-                   "n_devices": n_devices, "cam_devices": cam_devices}})
+    if not is_primary:
+        from lss_carla_tpu.utils.logging import NullLogger
+        logger = NullLogger()
+    else:
+        logger = MetricLogger(logdir, use_wandb=use_wandb, wandb_kwargs={
+            "project": wandb_project, "name": wandb_name,
+            "entity": wandb_entity,
+            "config": {"bsz": bsz, "lr": lr, "grid_conf": grid_conf.to_dict(),
+                       "data_aug_conf": data_aug_conf.to_dict(),
+                       "n_devices": n_devices, "cam_devices": cam_devices}})
 
     print("=" * 80)
     print("Training configuration:")
@@ -205,6 +234,9 @@ def train(
     print(f"  batch size: {bsz}  (x{n_devices} devices"
           + (f" = {n_data} data x {cam_devices} cam" if cam_devices > 1
              else "") + ")")
+    if multihost:
+        print(f"  multihost: process {proc}/{n_procs} "
+              f"({jax.local_device_count()} local devices)")
     print(f"  lr: {lr}  epochs: {nepochs}  cams: {ncams}")
     print(f"  image: {H}x{W} -> {tuple(final_dim)}")
     trunk_name = variant if variant.startswith("resnet") \
@@ -226,15 +258,17 @@ def train(
                              "nuScenes loader")
         from lss_carla_tpu.data.nuscenes import compile_data_nuscenes
         trainloader, valloader = compile_data_nuscenes(
-            nuscenes_version, dataroot, data_aug_conf, grid_conf, bsz=bsz,
-            nworkers=nworkers,
+            nuscenes_version, dataroot, data_aug_conf, grid_conf,
+            bsz=bsz // n_procs, nworkers=nworkers,
             drop_to_multiple_of=n_data if use_mesh else None,
-            device_normalize=device_normalize)
+            device_normalize=device_normalize,
+            shard_index=proc, num_shards=n_procs)
     else:
         trainloader, valloader = compile_data(
-            "unused", dataroot, data_aug_conf, grid_conf, bsz=bsz,
+            "unused", dataroot, data_aug_conf, grid_conf, bsz=bsz // n_procs,
             nworkers=nworkers, parser_name="segmentationdata",
             drop_to_multiple_of=n_data if use_mesh else None,
+            shard_index=proc, num_shards=n_procs,
             dataset_kwargs={"label_mode": label_mode,
                             "label_classes": tuple(label_classes),
                             "extrinsic_noise": extrinsic_noise,
@@ -306,6 +340,67 @@ def train(
                                   if state.ema_params is not None else None))
         print(f"Loaded pretrained trunk from {pretrained_trunk}")
 
+    # mesh + state placement BEFORE checkpoint restore: a multi-controller
+    # restore must target globally-sharded abstract arrays (orbax restores
+    # each process's addressable shards; see utils/checkpoint.ocp_abstract)
+    do_replicate = replicate
+    if multihost:
+        from lss_carla_tpu.parallel.mesh import (process_local_put,
+                                                 replicate_global)
+        do_replicate = replicate_global
+    if use_mesh and cam_devices > 1:
+        # 2-D (data, cam) mesh: batch over data shards, cameras over cam
+        # shards; partial splat + BEV psum inside the step (parallel/camera.py)
+        from lss_carla_tpu.parallel.camera import (
+            make_camera_sharded_eval_step, make_camera_sharded_train_step,
+            make_mesh_2d, shard_batch_2d, shard_batch_2d_local)
+        mesh = make_mesh_2d(n_data, cam_devices)
+        state = do_replicate(mesh, state)
+        train_fn = make_camera_sharded_train_step(model, mesh, pos_weight,
+                                                  ema_decay=ema_decay)
+        eval_fn = make_camera_sharded_eval_step(model, mesh, pos_weight)
+        if multihost:
+            device_put = lambda b: shard_batch_2d_local(mesh, b)  # noqa: E731
+        else:
+            device_put = lambda b: shard_batch_2d(mesh, b)  # noqa: E731
+    elif use_mesh:
+        mesh = make_mesh(n_devices)
+        state = do_replicate(mesh, state)
+        train_fn = make_sharded_train_step(model, mesh, pos_weight,
+                                           ema_decay=ema_decay,
+                                           accum_steps=accum_steps)
+        eval_fn = make_sharded_eval_step(model, mesh, pos_weight)
+        sharding = batch_sharding(mesh)
+        if multihost:
+            device_put = process_local_put(sharding)
+        else:
+            device_put = lambda b: jax.device_put(b, sharding)  # noqa: E731
+    else:
+        train_fn = make_train_step(model, pos_weight, ema_decay=ema_decay,
+                                   accum_steps=accum_steps)
+        eval_fn = make_eval_step(model, pos_weight)
+        device_put = jax.device_put
+
+    # train batches are (accum_steps, B, ...) stacks when accumulating:
+    # microbatch axis replicated, batch axis sharded (val keeps device_put)
+    device_put_train = device_put
+    if accum_steps > 1 and use_mesh:
+        from lss_carla_tpu.parallel.mesh import microbatched_sharding
+        mb_sharding = microbatched_sharding(mesh)
+        if multihost:
+            device_put_train = process_local_put(mb_sharding)
+        else:
+            device_put_train = \
+                lambda b: jax.device_put(b, mb_sharding)  # noqa: E731
+
+    if multihost:
+        # first cross-process sync of the run: orbax's CheckpointManager
+        # init allgathers across processes, and the gloo rendezvous window
+        # (~30 s) is far shorter than the model-init compile skew between a
+        # cache-hitting and a cold-compiling host. Re-align on the KV store
+        # (long timeout) first.
+        from lss_carla_tpu.parallel.mesh import process_barrier
+        process_barrier("pre_ckpt_manager")
     ckpt = CheckpointManager(os.path.join(logdir, "ckpts"))
     counter, start_epoch, best_val_iou = 0, 0, 0.0
     if resume is not None:
@@ -313,6 +408,10 @@ def train(
             CheckpointManager(resume)
         from lss_carla_tpu.training.state import restore_train_state
         state, meta = restore_train_state(mgr, state)
+        if use_mesh and not multihost:
+            # single-process restore yields host arrays (sharding-free
+            # abstract); multihost restore is already globally sharded
+            state = replicate(mesh, state)
         counter = int(meta.get("counter", 0))
         start_epoch = int(meta.get("epoch", 0))
         # periodic/preemption checkpoint meta carries no val_iou; without
@@ -326,42 +425,6 @@ def train(
         print(f"Resumed from step {counter}, epoch {start_epoch} "
               f"(best val IoU so far {best_val_iou:.4f})")
 
-    if use_mesh and cam_devices > 1:
-        # 2-D (data, cam) mesh: batch over data shards, cameras over cam
-        # shards; partial splat + BEV psum inside the step (parallel/camera.py)
-        from lss_carla_tpu.parallel.camera import (
-            make_camera_sharded_eval_step, make_camera_sharded_train_step,
-            make_mesh_2d, shard_batch_2d)
-        mesh = make_mesh_2d(n_data, cam_devices)
-        state = replicate(mesh, state)
-        train_fn = make_camera_sharded_train_step(model, mesh, pos_weight,
-                                                  ema_decay=ema_decay)
-        eval_fn = make_camera_sharded_eval_step(model, mesh, pos_weight)
-        device_put = lambda b: shard_batch_2d(mesh, b)  # noqa: E731
-    elif use_mesh:
-        mesh = make_mesh(n_devices)
-        state = replicate(mesh, state)
-        train_fn = make_sharded_train_step(model, mesh, pos_weight,
-                                           ema_decay=ema_decay,
-                                           accum_steps=accum_steps)
-        eval_fn = make_sharded_eval_step(model, mesh, pos_weight)
-        sharding = batch_sharding(mesh)
-        device_put = lambda b: jax.device_put(b, sharding)  # noqa: E731
-    else:
-        train_fn = make_train_step(model, pos_weight, ema_decay=ema_decay,
-                                   accum_steps=accum_steps)
-        eval_fn = make_eval_step(model, pos_weight)
-        device_put = jax.device_put
-
-    # train batches are (accum_steps, B, ...) stacks when accumulating:
-    # microbatch axis replicated, batch axis sharded (val keeps device_put)
-    device_put_train = device_put
-    if accum_steps > 1 and use_mesh:
-        from lss_carla_tpu.parallel.mesh import microbatched_sharding
-        mb_sharding = microbatched_sharding(mesh)
-        device_put_train = \
-            lambda b: jax.device_put(b, mb_sharding)  # noqa: E731
-
     def eval_state_of(s):
         """State whose params validation/val-viz should read: the EMA
         average when tracked (the model that would be served), else the
@@ -370,6 +433,13 @@ def train(
 
     predict_fn = None
     viz_val_batch = None  # fetched once, mesh-placed once, reused forever
+    if multihost and viz_step:
+        # the figure path fetches sample 0 to one host; running predict on
+        # process 0 alone would hang the others' collectives, and an
+        # all-process gather for a debug figure isn't worth it — scalar
+        # metrics (replicated) still log normally on process 0
+        print("multihost: figure visualization disabled")
+        viz_step = 0
     if viz_step:
         if use_mesh and cam_devices > 1:
             from lss_carla_tpu.parallel.camera import \

@@ -19,10 +19,20 @@ import orbax.checkpoint as ocp
 
 
 def ocp_abstract(x):
-    """Abstract (shape/dtype/sharding-free) leaf for orbax restore targets."""
+    """Abstract leaf for orbax restore targets.
+
+    Single-process: shape/dtype only (restores as host arrays, placed by the
+    caller). Multi-process: the leaf's global NamedSharding must ride along —
+    orbax then restores each process's addressable shards directly, the only
+    correct multi-controller path (the caller pre-places the target state on
+    the global mesh before restoring, see ``training/loop.py``)."""
     import jax
     import jax.numpy as jnp
-    return jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x))
+    sharding = None
+    if jax.process_count() > 1 and isinstance(x, jax.Array):
+        sharding = x.sharding
+    return jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x),
+                                sharding=sharding)
 
 
 class CheckpointManager:
@@ -76,9 +86,14 @@ class CheckpointManager:
 
     def save_best(self, step: int, state, epoch: int, val_iou: float):
         self.save(step, state, epoch, val_iou, mgr=self._best_mgr)
-        with open(self._best_path, "w") as f:
-            json.dump({"counter": int(step), "epoch": int(epoch),
-                       "val_iou": float(val_iou)}, f)
+        import jax
+        if jax.process_index() == 0:
+            # multihost: orbax already demands a shared checkpoint dir, so
+            # process 0's write is visible to every host on resume; writing
+            # from all processes would race on the same path
+            with open(self._best_path, "w") as f:
+                json.dump({"counter": int(step), "epoch": int(epoch),
+                           "val_iou": float(val_iou)}, f)
 
     # --- restore ---
 

@@ -62,3 +62,21 @@ class MetricLogger:
             self._tb.close()
         if self._wandb is not None:
             self._wandb.finish()
+
+
+class NullLogger:
+    """MetricLogger interface, no output — non-primary processes of a
+    multi-host run (TB/wandb/jsonl writers on a shared logdir would
+    collide; metrics are replicated so process 0 logs for everyone)."""
+
+    def scalars(self, step: int, **kv):
+        pass
+
+    def figure(self, step: int, tag: str, fig):
+        pass
+
+    def summary(self, **kv):
+        pass
+
+    def close(self):
+        pass

@@ -137,6 +137,56 @@ def worker(process_id: int, num_processes: int, local_devices: int,
     jax.distributed.shutdown()
 
 
+def cli_worker(process_id: int, num_processes: int, local_devices: int,
+               port: int, dataroot: str, rundir: str):
+    """Drive the REAL training CLI path (``train(multihost=True)``) as one
+    process of a multi-controller run: per-host loader shards, global-mesh
+    step, process-0 logging, orbax multihost save, then --resume."""
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={local_devices}")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=num_processes, process_id=process_id)
+    import numpy as np
+
+    from lss_carla_tpu.training.loop import train
+
+    kwargs = dict(
+        dataroot=dataroot, logdir=rundir, multihost=True,
+        H=64, W=128, final_dim=(32, 64),
+        # 16x16 BEV cells over the fixture's +/-50 m extent, matching the
+        # grid=16 labels the parent generated (SimBEV labels are
+        # pre-rasterized; bounds and label grid must agree)
+        xbound=(-50.0, 50.0, 6.25), ybound=(-50.0, 50.0, 6.25),
+        zbound=(-10.0, 10.0, 20.0), dbound=(4.0, 36.0, 8.0),
+        bsz=4, nworkers=2, nepochs=1, viz_step=0, iou_log_step=1)
+    import time
+    t0 = time.time()
+
+    def mark(msg):
+        print(f"[proc {process_id} +{time.time() - t0:6.1f}s] {msg}",
+              flush=True)
+
+    # leg 1: fresh start; step 2 fires validation + best + periodic save +
+    # the early-stop final save (idempotent resave at the same counter —
+    # the orbax delete+save path under multi-process coordination)
+    mark("leg 1 (fresh train) starting")
+    out = train(max_steps=2, val_step=2, save_step=2, **kwargs)
+    assert out["counter"] == 2, out["counter"]
+    mark("leg 1 done")
+    # leg 2: resume from the shared ckpt dir, run 2 more steps
+    out = train(max_steps=4, val_step=0, save_step=0,
+                resume=os.path.join(rundir, "ckpts"), **kwargs)
+    assert out["counter"] == 4, out["counter"]
+    mark("leg 2 (resume) done")
+    leaf = np.asarray(jax.tree_util.tree_leaves(out["state"].params)[0])
+    print(f"[proc {process_id}] cli param checksum "
+          f"{float(np.sum(leaf)):.6f}", flush=True)
+    jax.distributed.shutdown()
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--procs", type=int, default=2)
@@ -147,18 +197,45 @@ def main():
                    help=">1: gradient-accumulation step (data mesh only) — "
                         "validates the (None, data) microbatch sharding "
                         "across processes")
+    p.add_argument("--cli", action="store_true",
+                   help="drive the real training entry point "
+                        "(train(multihost=True)) over the processes: "
+                        "fixture data, per-host loader shards, validation, "
+                        "orbax multihost checkpointing + resume")
+    p.add_argument("--workdir", default="/tmp/mh_cli_dryrun")  # --cli state
     p.add_argument("--process_id", type=int, default=None)  # internal
     args = p.parse_args()
 
+    if args.cli:
+        args.local_devices = 2  # global mesh 2x2; bsz 4 -> 1 sample/device
     if args.mesh == "camera" and (args.procs * args.local_devices) % 2:
         p.error("--mesh camera needs an even global device count (cam=2)")
     if args.accum > 1 and args.mesh != "data":
         p.error("--accum requires --mesh data")
 
+    dataroot = os.path.join(args.workdir, "fixture")
+    rundir = os.path.join(args.workdir, "run")
     if args.process_id is not None:
-        worker(args.process_id, args.procs, args.local_devices, args.port,
-               args.mesh, args.accum)
+        if args.cli:
+            cli_worker(args.process_id, args.procs, args.local_devices,
+                       args.port, dataroot, rundir)
+        else:
+            worker(args.process_id, args.procs, args.local_devices,
+                   args.port, args.mesh, args.accum)
         return
+
+    if args.cli:
+        # fresh fixture + run dir; generate in a CPU-forced subprocess (the
+        # fixture generator imports jax transitively, and this parent must
+        # not touch the default backend)
+        import shutil
+        shutil.rmtree(args.workdir, ignore_errors=True)
+        os.makedirs(args.workdir)
+        gen = (f"import jax; jax.config.update('jax_platforms', 'cpu'); "
+               f"from lss_carla_tpu.data.fixtures import generate_fixture; "
+               f"generate_fixture({dataroot!r}, num_scenes=5, grid=16, "
+               f"samples_per_scene=4, H=64, W=128)")
+        subprocess.run([sys.executable, "-c", gen], check=True, cwd=REPO)
 
     procs = []
     for i in range(args.procs):
@@ -166,15 +243,16 @@ def main():
             [sys.executable, __file__, "--procs", str(args.procs),
              "--local_devices", str(args.local_devices),
              "--port", str(args.port), "--mesh", args.mesh,
-             "--accum", str(args.accum), "--process_id", str(i)],
+             "--accum", str(args.accum), "--process_id", str(i)]
+            + (["--cli", "--workdir", args.workdir] if args.cli else []),
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
     outputs, failed = [], False
     for i, pr in enumerate(procs):
-        out, _ = pr.communicate(timeout=900)
+        out, _ = pr.communicate(timeout=1800 if args.cli else 900)
         outputs.append(out.decode())
         failed |= pr.returncode != 0
     for o in outputs:
-        print(o[-1200:])
+        print(o[-2000:])
     if failed:
         print("MULTIHOST DRYRUN FAILED")
         sys.exit(1)
@@ -185,8 +263,15 @@ def main():
         m = re.findall(r"param checksum (-?\d+\.\d+)", o)
         sums.update(m)
     assert len(sums) == 1, f"state diverged across hosts: {sums}"
-    print(f"MULTIHOST DRYRUN OK ({args.mesh} mesh): {args.procs} processes "
-          f"x {args.local_devices} devices, state consistent")
+    if args.cli:
+        assert "Resumed from step 2" in outputs[0], "resume leg missing"
+        print(f"MULTIHOST CLI DRYRUN OK: {args.procs} processes x "
+              f"{args.local_devices} devices — train CLI end-to-end "
+              "(loader shards, validation, orbax save/resume), state "
+              "consistent")
+    else:
+        print(f"MULTIHOST DRYRUN OK ({args.mesh} mesh): {args.procs} "
+              f"processes x {args.local_devices} devices, state consistent")
 
 
 if __name__ == "__main__":

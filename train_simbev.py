@@ -100,6 +100,12 @@ def main():
                         help='camera-axis model-parallel shards: splits the '
                              'cameras over a 2-D (data, cam) mesh; '
                              'n_devices/cam_devices become batch shards')
+    parser.add_argument('--multihost', action='store_true',
+                        help='multi-controller run: launch this CLI once '
+                             'per host of a pod; initializes '
+                             'jax.distributed, shards input loading per '
+                             'host, logs on process 0. --bsz is the GLOBAL '
+                             'batch size')
     parser.add_argument('--splat_method', type=str, default='scatter',
                         choices=['scatter', 'sorted', 'pallas'])
     parser.add_argument('--compute_dtype', type=str, default='float32',
@@ -159,6 +165,7 @@ def main():
         wandb_name=args.wandb_name,
         wandb_entity=args.wandb_entity,
         n_devices=args.n_devices,
+        multihost=args.multihost,
         cam_devices=args.cam_devices,
         lr_schedule=args.lr_schedule,
         warmup_steps=args.warmup_steps,
