@@ -482,7 +482,29 @@ def train(
 
     # Preemption safety (no reference equivalent): on SIGTERM/SIGINT save a
     # resumable checkpoint before exiting. TPU pools preempt with SIGTERM.
+    #
+    # Multihost: the checkpoint save is a COLLECTIVE, so a signal on one
+    # host must become a cluster-wide agreement on a common stop step —
+    # host loops run ahead of each other (async dispatch), so acting on a
+    # local flag alone would have hosts calling the collective save at
+    # different counters (deadlock). jax.distributed's PreemptionSyncManager
+    # solves exactly this: its C++ notifier catches SIGTERM on any host,
+    # broadcasts through the coordination service, and
+    # ``reached_sync_point(step)`` returns True on every host at the SAME
+    # step. Python must NOT install its own SIGTERM handler in this mode
+    # (sigaction would replace the notifier's).
     preempted = {"flag": False}
+    psm = None
+    if multihost:
+        from jax._src import distributed
+        psm = distributed.global_state.preemption_sync_manager
+        if psm is None:
+            try:
+                distributed.global_state.initialize_preemption_sync_manager()
+                psm = distributed.global_state.preemption_sync_manager
+            except Exception as e:
+                print(f"preemption sync manager unavailable ({e}); "
+                      "SIGTERM will NOT checkpoint in this multihost run")
 
     def _on_signal(signum, frame):
         print(f"signal {signum} received -> checkpoint and exit")
@@ -490,11 +512,12 @@ def train(
 
     import signal
     prev_handlers = {}
-    try:
-        for sig in (signal.SIGTERM, signal.SIGINT):
-            prev_handlers[sig] = signal.signal(sig, _on_signal)
-    except ValueError:
-        prev_handlers = {}  # not in main thread (e.g. under a test runner)
+    if not multihost:
+        try:
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                prev_handlers[sig] = signal.signal(sig, _on_signal)
+        except ValueError:
+            prev_handlers = {}  # not in main thread (e.g. under a test runner)
 
     watchdog = None
     if watchdog_secs:
@@ -631,6 +654,12 @@ def train(
                     if watchdog is not None:
                         watchdog.beat()
 
+                if psm is not None and psm.reached_sync_point(counter):
+                    # a host of the pod received SIGTERM; every host gets
+                    # True at this same counter -> collective save is safe
+                    print(f"preemption sync point at step {counter} "
+                          "-> checkpoint and exit")
+                    preempted["flag"] = True
                 if preempted["flag"]:
                     if watchdog is not None:
                         watchdog.pause()

@@ -32,7 +32,10 @@ sys.path.insert(0, str(REPO))
 def worker(process_id: int, num_processes: int, local_devices: int,
            port: int, mesh_kind: str = "data", accum: int = 1):
     os.environ["XLA_FLAGS"] = (
-        f"--xla_force_host_platform_device_count={local_devices}")
+        f"--xla_force_host_platform_device_count={local_devices} "
+        # gloo collectives wait at most this long for peers: must
+        # cover cross-process XLA compile skew (cache hit vs cold)
+        "--xla_cpu_collective_timeout_seconds=1800")
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.distributed.initialize(
@@ -143,7 +146,10 @@ def cli_worker(process_id: int, num_processes: int, local_devices: int,
     process of a multi-controller run: per-host loader shards, global-mesh
     step, process-0 logging, orbax multihost save, then --resume."""
     os.environ["XLA_FLAGS"] = (
-        f"--xla_force_host_platform_device_count={local_devices}")
+        f"--xla_force_host_platform_device_count={local_devices} "
+        # gloo collectives wait at most this long for peers: must
+        # cover cross-process XLA compile skew (cache hit vs cold)
+        "--xla_cpu_collective_timeout_seconds=1800")
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.distributed.initialize(
@@ -181,6 +187,31 @@ def cli_worker(process_id: int, num_processes: int, local_devices: int,
                 resume=os.path.join(rundir, "ckpts"), **kwargs)
     assert out["counter"] == 4, out["counter"]
     mark("leg 2 (resume) done")
+    # leg 3: preemption — SIGTERM lands on ONE host mid-training; the
+    # PreemptionSyncManager must turn it into a cluster-wide agreement so
+    # every host checkpoints at the SAME counter (the save is collective).
+    # Worker 1 self-signals once process 0's logger shows training started.
+    import signal
+    import threading
+    run3 = os.path.join(os.path.dirname(rundir), "run_preempt")
+    if process_id == 1:
+        def _sigterm_when_training():
+            jsonl = os.path.join(run3, "metrics.jsonl")
+            while True:
+                time.sleep(0.2)
+                try:
+                    if os.path.getsize(jsonl) > 0:
+                        break
+                except OSError:
+                    continue
+            os.kill(os.getpid(), signal.SIGTERM)
+        threading.Thread(target=_sigterm_when_training, daemon=True).start()
+    out = train(max_steps=100, val_step=0, save_step=0,
+                **dict(kwargs, logdir=run3, nepochs=50))
+    assert 1 <= out["counter"] < 100, out["counter"]
+    mark("leg 3 (preempt) done")
+    print(f"[proc {process_id}] preempt-synced at {out['counter']}",
+          flush=True)
     leaf = np.asarray(jax.tree_util.tree_leaves(out["state"].params)[0])
     print(f"[proc {process_id}] cli param checksum "
           f"{float(np.sum(leaf)):.6f}", flush=True)
@@ -265,10 +296,20 @@ def main():
     assert len(sums) == 1, f"state diverged across hosts: {sums}"
     if args.cli:
         assert "Resumed from step 2" in outputs[0], "resume leg missing"
+        # preemption leg: SIGTERM hit only worker 1, yet EVERY process must
+        # report the same agreed stop counter (collective save correctness)
+        stops = set()
+        for o in outputs:
+            m = re.findall(r"preempt-synced at (\d+)", o)
+            assert m, "preemption leg missing from a worker"
+            stops.update(m)
+        assert len(stops) == 1, f"preempt stop step diverged: {stops}"
+        assert any("preemption sync point at step" in o for o in outputs), \
+            "preemption never triggered (run ended before the signal)"
         print(f"MULTIHOST CLI DRYRUN OK: {args.procs} processes x "
               f"{args.local_devices} devices — train CLI end-to-end "
-              "(loader shards, validation, orbax save/resume), state "
-              "consistent")
+              "(loader shards, validation, orbax save/resume, synced "
+              f"preemption at step {stops.pop()}), state consistent")
     else:
         print(f"MULTIHOST DRYRUN OK ({args.mesh} mesh): {args.procs} "
               f"processes x {args.local_devices} devices, state consistent")
