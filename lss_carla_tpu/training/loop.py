@@ -140,6 +140,11 @@ def train(
                                        # splits the ncams cameras over a 2-D
                                        # (data, cam) mesh (parallel/camera.py);
                                        # n_devices/cam_devices = data shards
+    grid_devices: int = 1,             # BEV-grid spatial shards: splits the
+                                       # grid X axis over a 2-D (data, grid)
+                                       # GSPMD mesh (parallel/grid.py) — the
+                                       # axis for LARGE grids (400x400+);
+                                       # n_devices/grid_devices = data shards
     seed: int = 42,
     splat_method: str = "scatter",
     compute_dtype: str = "float32",
@@ -190,11 +195,15 @@ def train(
     n_devices = min(n_devices, len(devices))
     use_mesh = n_devices > 1
     cam_devices = max(1, int(cam_devices))
+    grid_devices = max(1, int(grid_devices))
     accum_steps = max(1, int(accum_steps))
-    if accum_steps > 1 and cam_devices > 1:
+    if sum(x > 1 for x in (cam_devices, grid_devices)) > 1:
+        raise ValueError("cam_devices and grid_devices are alternative "
+                         "model-parallel axes — use at most one")
+    if accum_steps > 1 and (cam_devices > 1 or grid_devices > 1):
         raise ValueError("accum_steps > 1 is not supported together with "
-                         "cam_devices > 1 (accumulate on the data axis or "
-                         "shard cameras, not both)")
+                         "cam_devices/grid_devices > 1 (accumulate on the "
+                         "data axis or shard the model, not both)")
     if cam_devices > 1:
         if n_devices % cam_devices != 0:
             raise ValueError(f"n_devices={n_devices} must be divisible by "
@@ -203,10 +212,23 @@ def train(
             raise ValueError(f"ncams={ncams} must be divisible by "
                              f"cam_devices={cam_devices} (cameras shard "
                              "evenly over the cam axis)")
-    n_data = n_devices // cam_devices  # batch shards (data axis)
+    if grid_devices > 1:
+        if n_devices % grid_devices != 0:
+            raise ValueError(f"n_devices={n_devices} must be divisible by "
+                             f"grid_devices={grid_devices}")
+        nx0 = int((xbound[1] - xbound[0]) / xbound[2])
+        if nx0 % grid_devices != 0:
+            raise ValueError(f"grid X dim {nx0} must be divisible by "
+                             f"grid_devices={grid_devices} (the BEV X axis "
+                             "shards evenly over the grid axis)")
+        if bsz % n_devices != 0:
+            raise ValueError(f"bsz={bsz} must be divisible by "
+                             f"n_devices={n_devices}: the lift stage shards "
+                             "the batch over the (data x grid) mesh jointly")
+    n_data = n_devices // (cam_devices * grid_devices)  # data-axis shards
     if use_mesh and bsz % n_data != 0:
         raise ValueError(f"bsz={bsz} must be divisible by the data-shard "
-                         f"count {n_data} (n_devices/cam_devices)")
+                         f"count {n_data} (n_devices/model-parallel shards)")
     if multihost:
         if not use_mesh:
             raise ValueError("--multihost needs a device mesh "
@@ -225,15 +247,19 @@ def train(
             "entity": wandb_entity,
             "config": {"bsz": bsz, "lr": lr, "grid_conf": grid_conf.to_dict(),
                        "data_aug_conf": data_aug_conf.to_dict(),
-                       "n_devices": n_devices, "cam_devices": cam_devices}})
+                       "n_devices": n_devices, "cam_devices": cam_devices,
+                       "grid_devices": grid_devices}})
 
     print("=" * 80)
     print("Training configuration:")
     print(f"  dataroot: {dataroot}")
     print(f"  logdir: {logdir}")
-    print(f"  batch size: {bsz}  (x{n_devices} devices"
-          + (f" = {n_data} data x {cam_devices} cam" if cam_devices > 1
-             else "") + ")")
+    mesh_desc = ""
+    if cam_devices > 1:
+        mesh_desc = f" = {n_data} data x {cam_devices} cam"
+    elif grid_devices > 1:
+        mesh_desc = f" = {n_data} data x {grid_devices} grid"
+    print(f"  batch size: {bsz}  (x{n_devices} devices{mesh_desc})")
     if multihost:
         print(f"  multihost: process {proc}/{n_procs} "
               f"({jax.local_device_count()} local devices)")
@@ -363,6 +389,21 @@ def train(
             device_put = lambda b: shard_batch_2d_local(mesh, b)  # noqa: E731
         else:
             device_put = lambda b: shard_batch_2d(mesh, b)  # noqa: E731
+    elif use_mesh and grid_devices > 1:
+        # 2-D (data, grid) GSPMD mesh: lift batch-split over all chips, BEV
+        # X axis space-split for the decode (parallel/grid.py)
+        from lss_carla_tpu.parallel.grid import (
+            make_grid_sharded_eval_step, make_grid_sharded_train_step,
+            make_mesh_grid, shard_batch_grid, shard_batch_grid_local)
+        mesh = make_mesh_grid(n_data, grid_devices)
+        state = do_replicate(mesh, state)
+        train_fn = make_grid_sharded_train_step(model, mesh, pos_weight,
+                                                ema_decay=ema_decay)
+        eval_fn = make_grid_sharded_eval_step(model, mesh, pos_weight)
+        if multihost:
+            device_put = lambda b: shard_batch_grid_local(mesh, b)  # noqa: E731
+        else:
+            device_put = lambda b: shard_batch_grid(mesh, b)  # noqa: E731
     elif use_mesh:
         mesh = make_mesh(n_devices)
         state = do_replicate(mesh, state)
@@ -445,6 +486,9 @@ def train(
             from lss_carla_tpu.parallel.camera import \
                 make_camera_sharded_predict
             predict_fn = make_camera_sharded_predict(model, mesh)
+        elif use_mesh and grid_devices > 1:
+            from lss_carla_tpu.parallel.grid import make_grid_sharded_predict
+            predict_fn = make_grid_sharded_predict(model, mesh)
         else:
             from lss_carla_tpu.training.step import make_predict_step
             predict_fn = make_predict_step(model)

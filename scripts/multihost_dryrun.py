@@ -11,6 +11,7 @@ Self-orchestrating: run with no arguments to spawn the workers.
     python scripts/multihost_dryrun.py                 # 2 procs x 4 devices
     python scripts/multihost_dryrun.py --procs 2 --local_devices 4
     python scripts/multihost_dryrun.py --mesh camera   # 2-D (data, cam) mesh
+    python scripts/multihost_dryrun.py --mesh grid     # 2-D (data, grid) mesh
     python scripts/multihost_dryrun.py --accum 2       # grad accumulation
 
 ``--mesh camera`` runs the camera-axis model-parallel step
@@ -53,7 +54,19 @@ def worker(process_id: int, num_processes: int, local_devices: int,
     from lss_carla_tpu.training.state import create_train_state
 
     n_global = jax.device_count()
-    if mesh_kind == "camera":
+    if mesh_kind == "grid":
+        from lss_carla_tpu.parallel.grid import (
+            GRID_AXIS, make_grid_sharded_train_step, shard_batch_grid_local)
+        n_grid = 2
+        # grid-axis neighbours WITHIN a process (same rationale as the cam
+        # mesh): the decode's halo exchanges and the lift->decode reshard
+        # ride intra-host links, only the gradient reduction crosses DCN
+        mesh = Mesh(np.asarray(jax.devices()).reshape(-1, n_grid),
+                    (DATA_AXIS, GRID_AXIS))
+        # the GSPMD lift shards the batch over the WHOLE mesh jointly
+        data_size = n_global
+        cam_shard_specs = None
+    elif mesh_kind == "camera":
         from lss_carla_tpu.parallel.camera import (
             CAM_AXIS, make_camera_sharded_train_step)
         n_cam = 2
@@ -100,7 +113,9 @@ def worker(process_id: int, num_processes: int, local_devices: int,
         lambda x: jax.make_array_from_process_local_data(
             rep, np.asarray(x)), state)
 
-    if mesh_kind == "camera":
+    if mesh_kind == "grid":
+        step = make_grid_sharded_train_step(model, mesh, pos_weight=2.13)
+    elif mesh_kind == "camera":
         step = make_camera_sharded_train_step(model, mesh, pos_weight=2.13)
     else:
         step = make_sharded_train_step(model, mesh, pos_weight=2.13,
@@ -116,6 +131,8 @@ def worker(process_id: int, num_processes: int, local_devices: int,
             batch = jax.tree_util.tree_map(
                 lambda x: jax.make_array_from_process_local_data(
                     mb_shard, x), lb)
+        elif mesh_kind == "grid":
+            batch = shard_batch_grid_local(mesh, local_batch())
         elif mesh_kind == "camera":
             lb = local_batch()
             batch = tuple(
@@ -223,7 +240,8 @@ def main():
     p.add_argument("--procs", type=int, default=2)
     p.add_argument("--local_devices", type=int, default=4)
     p.add_argument("--port", type=int, default=9921)
-    p.add_argument("--mesh", default="data", choices=["data", "camera"])
+    p.add_argument("--mesh", default="data",
+                   choices=["data", "camera", "grid"])
     p.add_argument("--accum", type=int, default=1,
                    help=">1: gradient-accumulation step (data mesh only) — "
                         "validates the (None, data) microbatch sharding "
@@ -239,8 +257,10 @@ def main():
 
     if args.cli:
         args.local_devices = 2  # global mesh 2x2; bsz 4 -> 1 sample/device
-    if args.mesh == "camera" and (args.procs * args.local_devices) % 2:
-        p.error("--mesh camera needs an even global device count (cam=2)")
+    if args.mesh in ("camera", "grid") \
+            and (args.procs * args.local_devices) % 2:
+        p.error(f"--mesh {args.mesh} needs an even global device count "
+                "(model axis = 2)")
     if args.accum > 1 and args.mesh != "data":
         p.error("--accum requires --mesh data")
 
@@ -279,7 +299,8 @@ def main():
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
     outputs, failed = [], False
     for i, pr in enumerate(procs):
-        out, _ = pr.communicate(timeout=1800 if args.cli else 900)
+        out, _ = pr.communicate(timeout=1800)  # covers cold GSPMD compiles
+        # on a loaded box (the grid mesh's full fwd+bwd is the slowest)
         outputs.append(out.decode())
         failed |= pr.returncode != 0
     for o in outputs:

@@ -107,6 +107,39 @@ def test_cam_devices_validation(tmp_path):
               logdir=log)
 
 
+def test_train_2d_grid_mesh_with_viz_and_val(fixture_root, tmp_path):
+    """Full driver over a 2-D (4 data x 2 grid) GSPMD mesh
+    (--grid_devices 2): lift batch-split over all 8 devices, BEV decode
+    spatially partitioned, validation + viz enabled, metrics finite."""
+    result, args = _run(fixture_root, tmp_path, **GRID_64,
+                        bsz=8, n_devices=8, grid_devices=2, viz_step=2,
+                        val_step=2, save_step=0, max_steps=2, nepochs=2)
+    assert result["counter"] == 2
+    recs = [json.loads(l) for l in
+            open(os.path.join(args["logdir"], "metrics.jsonl"))]
+    vals = [r for r in recs if "val/iou" in r]
+    assert vals, "validation must have run on the grid mesh"
+    assert all(np.isfinite(r["val/iou"]) for r in vals)
+
+
+def test_grid_devices_validation(tmp_path):
+    """Bad (n_devices, grid_devices, bsz, grid-dim) combos fail fast,
+    before any model init."""
+    log = str(tmp_path / "v")
+    with pytest.raises(ValueError, match="divisible by grid_devices"):
+        train("/nonexistent", n_devices=8, grid_devices=5, logdir=log)
+    with pytest.raises(ValueError, match="grid X dim"):
+        # 200-cell X axis does not split 16 ways... use an odd grid
+        train("/nonexistent", n_devices=8, grid_devices=8,
+              xbound=(-50.0, 50.0, 1.0 / 0.9), logdir=log)
+    with pytest.raises(ValueError, match="alternative model-parallel"):
+        train("/nonexistent", n_devices=8, cam_devices=2, grid_devices=2,
+              logdir=log)
+    with pytest.raises(ValueError, match="lift stage shards"):
+        train("/nonexistent", n_devices=8, grid_devices=2, bsz=4,
+              logdir=log)
+
+
 def test_train_with_pretrained_trunk(fixture_root, tmp_path):
     """--pretrained_trunk seeds the camera trunk from an ImageNet-style
     efficientnet_pytorch file before training (reference src/models.py:43)."""

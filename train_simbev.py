@@ -100,6 +100,11 @@ def main():
                         help='camera-axis model-parallel shards: splits the '
                              'cameras over a 2-D (data, cam) mesh; '
                              'n_devices/cam_devices become batch shards')
+    parser.add_argument('--grid_devices', type=int, default=1,
+                        help='BEV-grid spatial shards: splits the grid X '
+                             'axis over a 2-D (data, grid) GSPMD mesh (for '
+                             'large grids, e.g. the 400x400 stretch config); '
+                             'n_devices/grid_devices become batch shards')
     parser.add_argument('--multihost', action='store_true',
                         help='multi-controller run: launch this CLI once '
                              'per host of a pod; initializes '
@@ -167,6 +172,7 @@ def main():
         n_devices=args.n_devices,
         multihost=args.multihost,
         cam_devices=args.cam_devices,
+        grid_devices=args.grid_devices,
         lr_schedule=args.lr_schedule,
         warmup_steps=args.warmup_steps,
         decay_steps=args.decay_steps,
