@@ -160,6 +160,10 @@ def train(
     profile_dir: Optional[str] = None,  # jax.profiler trace output
     watchdog_secs: int = 0,            # stall detector (0 = off); dumps
                                        # stacks at N s, hard-exits at 2N
+    async_save: bool = False,          # periodic checkpoints persist in a
+                                       # background thread (host IO only);
+                                       # best/final/preemption saves stay
+                                       # durable (utils/checkpoint.py)
 ):
     """Train LSS on SimBEV. Mirrors the reference CLI surface exactly; extras
     are keyword-only additions."""
@@ -442,7 +446,8 @@ def train(
         # (long timeout) first.
         from lss_carla_tpu.parallel.mesh import process_barrier
         process_barrier("pre_ckpt_manager")
-    ckpt = CheckpointManager(os.path.join(logdir, "ckpts"))
+    ckpt = CheckpointManager(os.path.join(logdir, "ckpts"),
+                             async_save=async_save)
     counter, start_epoch, best_val_iou = 0, 0, 0.0
     if resume is not None:
         mgr = ckpt if os.path.abspath(resume) == ckpt.directory else \

@@ -36,14 +36,24 @@ def ocp_abstract(x):
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, max_to_keep: int = 5):
+    def __init__(self, directory: str, max_to_keep: int = 5,
+                 async_save: bool = False):
+        """``async_save=True``: periodic saves return after the synchronous
+        device->host snapshot and persist in a background thread (orbax async
+        checkpointing), so training overlaps the file/object-store write —
+        the dominant save cost on real hosts. The background thread does host
+        IO only (never enters jax), ``save`` drains any in-flight write
+        before starting the next, and best/final saves plus ``restore``/
+        ``close`` are drain points, so every durability contract of the sync
+        mode is preserved."""
         self.directory = os.path.abspath(directory)
+        self.async_save = bool(async_save)
         os.makedirs(self.directory, exist_ok=True)
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep, create=True,
-                best_fn=None, enable_async_checkpointing=False),
+                best_fn=None, enable_async_checkpointing=self.async_save),
         )
         # best-by-val-IoU checkpoints live in their own manager so the
         # periodic rotation (max_to_keep) can never garbage-collect them
@@ -52,15 +62,24 @@ class CheckpointManager:
             os.path.join(self.directory, "best"),
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=1, create=True,
-                enable_async_checkpointing=False),
+                enable_async_checkpointing=self.async_save),
         )
         self._best_path = os.path.join(self.directory, "best.json")
 
     # --- save ---
 
     def save(self, step: int, state, epoch: int,
-             val_iou: Optional[float] = None, mgr=None):
+             val_iou: Optional[float] = None, mgr=None,
+             wait: Optional[bool] = None):
+        """``wait`` defaults to the manager mode (sync -> block until
+        durable; async -> return once the background write is launched).
+        Pass ``wait=True`` to force durability on an async manager (best and
+        final saves do)."""
         mgr = mgr or self._mgr
+        if self.async_save:
+            # one write in flight at a time; also makes the idempotence
+            # check below exact (an in-flight step isn't in all_steps() yet)
+            mgr.wait_until_finished()
         meta = {"counter": int(step), "epoch": int(epoch)}
         if val_iou is not None:
             meta["val_iou"] = float(val_iou)
@@ -82,10 +101,16 @@ class CheckpointManager:
             ),
             force=True,
         )
-        mgr.wait_until_finished()
+        if wait is None:
+            wait = not self.async_save
+        if wait:
+            mgr.wait_until_finished()
 
     def save_best(self, step: int, state, epoch: int, val_iou: float):
-        self.save(step, state, epoch, val_iou, mgr=self._best_mgr)
+        # best saves block even in async mode: best.json below must never
+        # point at a checkpoint that isn't durable yet (they're rare —
+        # val-IoU improvements only — so there's nothing to hide them behind)
+        self.save(step, state, epoch, val_iou, mgr=self._best_mgr, wait=True)
         import jax
         if jax.process_index() == 0:
             # multihost: orbax already demands a shared checkpoint dir, so
@@ -122,6 +147,8 @@ class CheckpointManager:
         """Restore (state, meta). ``abstract_state``: a target TrainState (or
         jax.eval_shape of one) defining the tree structure. ``best=True``
         restores the best-by-val-IoU checkpoint."""
+        if self.async_save:
+            self.wait()  # same-process restore must see in-flight saves
         mgr = self._best_mgr if best else self._mgr
         if step is None:
             step = mgr.latest_step()
@@ -139,6 +166,12 @@ class CheckpointManager:
         )
         return restored["state"], restored["meta"]
 
+    def wait(self):
+        """Drain in-flight async writes (no-op for sync managers)."""
+        self._mgr.wait_until_finished()
+        self._best_mgr.wait_until_finished()
+
     def close(self):
+        # orbax close() drains pending async saves before releasing
         self._mgr.close()
         self._best_mgr.close()

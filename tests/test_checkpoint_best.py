@@ -64,3 +64,28 @@ def test_best_val_iou_survives_periodic_saves(tmp_path):
     assert "val_iou" not in meta               # the hazard being guarded
     assert mgr.best_val_iou() == pytest.approx(0.7)
     mgr.close()
+
+
+def test_async_save_roundtrip_and_idempotence(tmp_path):
+    """async_save=True: saves launch background writes; restore/close are
+    drain points; same-step re-save (periodic+final coinciding) still
+    replaces; best saves stay durable before best.json is written."""
+    mgr = CheckpointManager(str(tmp_path / "ck"), async_save=True)
+    mgr.save(1, _state(1.0), epoch=0)
+    mgr.save(2, _state(2.0), epoch=0)          # drains step 1 first
+    mgr.save_best(2, _state(2.0), epoch=0, val_iou=0.6)  # durable + best.json
+    assert mgr.best_val_iou() == pytest.approx(0.6)
+    mgr.save(2, _state(3.0), epoch=1)          # idempotent re-save, async
+    state, meta = mgr.restore(_abstract())     # restore drains in-flight
+    assert meta == {"counter": 2, "epoch": 1}
+    assert float(state["b"]) == 3.0
+    # the best manager kept the pre-re-save weights
+    bstate, bmeta = mgr.restore(_abstract(), best=True)
+    assert float(bstate["b"]) == 2.0 and bmeta["val_iou"] == pytest.approx(0.6)
+    mgr.close()
+
+    # a fresh (sync) manager sees everything the async one wrote
+    mgr2 = CheckpointManager(str(tmp_path / "ck"))
+    state2, meta2 = mgr2.restore(_abstract())
+    assert meta2["counter"] == 2 and float(state2["b"]) == 3.0
+    mgr2.close()

@@ -228,3 +228,16 @@ def test_accum_exceeding_epoch_batches_fails_fast(fixture_root, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="exceeds"):
         _run(fixture_root, tmp_path, **GRID_64, accum_steps=64)
+
+
+def test_train_with_async_save_and_resume(fixture_root, tmp_path):
+    """--async_save: periodic checkpoints persist in a background thread;
+    the run drains on exit, so a fresh process can resume from them and the
+    final checkpoint is durable."""
+    result, args = _run(fixture_root, tmp_path, **GRID_64, async_save=True)
+    assert result["counter"] == 2
+    result2, _ = _run(
+        fixture_root, tmp_path, **GRID_64, async_save=True,
+        resume=os.path.join(args["logdir"], "ckpts"),
+        max_steps=4, nepochs=2)
+    assert result2["counter"] == 4

@@ -136,6 +136,10 @@ def main():
                         help='stall detector: dump stacks after N s of no '
                              'step progress, hard-exit (code 42) at 2N for '
                              'supervisor restart with --resume; 0 disables')
+    parser.add_argument('--async_save', action='store_true',
+                        help='persist periodic checkpoints in a background '
+                             'thread (training overlaps the write); best/'
+                             'final/preemption saves stay durable')
     parser.add_argument('--profile_dir', type=str, default=None)
     parser.add_argument('--seed', type=int, default=42)
 
@@ -189,6 +193,7 @@ def main():
         max_steps=args.max_steps,
         profile_dir=args.profile_dir,
         watchdog_secs=args.watchdog_secs,
+        async_save=args.async_save,
         seed=args.seed,
     )
 
