@@ -47,6 +47,10 @@ VARIANTS = {
     "b2": (1.1, 1.2, 0.3),
     "b3": (1.2, 1.4, 0.3),
     "b4": (1.4, 1.8, 0.4),
+    # test/CI-only: minimum-width single-repeat trunk with the same stage/
+    # stride/endpoint structure as b0 — for sharding-parity tests whose
+    # XLA:CPU GSPMD compile time scales with op count, not for training
+    "slim": (0.1, 0.1, 0.2),
 }
 
 # flax momentum = 1 - torch momentum (torch bn_mom = 0.01)

@@ -701,6 +701,10 @@ def train(
                         watchdog.pause()
                     ckpt.save(counter, state, epoch)
                     if watchdog is not None:
+                        # with --async_save the write may still be in flight
+                        # here; a watchdog hard-exit mid-write is safe (orbax
+                        # commits atomically, older steps survive) but loses
+                        # that newest save — see StallWatchdog.pause()
                         watchdog.beat()
 
                 if psm is not None and psm.reached_sync_point(counter):
@@ -712,7 +716,10 @@ def train(
                 if preempted["flag"]:
                     if watchdog is not None:
                         watchdog.pause()
-                    ckpt.save(counter, state, epoch)
+                    # wait=True: durability must not depend on reaching
+                    # close() — an exception between here and close() (e.g.
+                    # stop_trace below) must not lose the preemption save
+                    ckpt.save(counter, state, epoch, wait=True)
                     stop = True
                     break
                 if max_steps is not None and counter >= max_steps:
@@ -742,7 +749,9 @@ def train(
         # NOT completion: record the true epoch so --resume continues.
         final_epoch = nepochs if early_stop_epoch is None else \
             early_stop_epoch
-        ckpt.save(counter, state, final_epoch)
+        # wait=True: the final save is a durability contract, not an
+        # optimization opportunity — don't rely on close() to drain it
+        ckpt.save(counter, state, final_epoch, wait=True)
     ckpt.close()
     logger.close()
     print(f"Best validation IoU: {best_val_iou:.4f}")

@@ -62,8 +62,15 @@ class StallWatchdog:
 
     def pause(self):
         """Disarm during legitimately slow phases (checkpoint saves stream
-        minutes over remote transports; an abort mid-write would corrupt
-        the very checkpoint recovery depends on). Re-arm with ``beat()``."""
+        minutes over remote transports; an abort mid-write would abandon
+        the write recovery depends on). Re-arm with ``beat()``.
+
+        With ``--async_save`` the periodic write continues in a background
+        thread after ``beat()`` re-arms, so a later hard-exit CAN land
+        mid-write. That is safe — orbax commits atomically (an uncommitted
+        step directory is ignored on restore) and older periodic steps
+        survive (max_to_keep) — but the newest in-flight save may be lost;
+        recovery then resumes from the previous checkpoint."""
         self._last_beat = None
 
     def stop(self):

@@ -87,12 +87,16 @@ class CheckpointManager:
             # idempotent re-save at the same counter (periodic + final/best
             # can coincide): replace the existing checkpoint. The delete is
             # REQUIRED — orbax raises StepAlreadyExistsError even with
-            # force=True (verified empirically). This opens a narrow
-            # SIGKILL window in which step N has no checkpoint; acceptable
-            # because (a) SIGTERM preemption is handled upstream, and
-            # (b) older periodic steps survive (max_to_keep=5) so the run
-            # remains resumable from the previous checkpoint.
+            # force=True (verified empirically). This opens a SIGKILL window
+            # in which step N has no checkpoint; acceptable because
+            # (a) SIGTERM preemption is handled upstream, and (b) older
+            # periodic steps survive (max_to_keep=5) so the run remains
+            # resumable from the previous checkpoint. In async mode the
+            # replacement commit would otherwise be deferred to the
+            # background thread, widening that window to the whole write —
+            # so same-step re-saves are forced durable below.
             mgr.delete(int(step))
+            wait = True
         mgr.save(
             int(step),
             args=ocp.args.Composite(

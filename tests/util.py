@@ -22,6 +22,15 @@ def tiny_model(outC=1, **kw):
     return compile_model(tiny_grid(), tiny_aug(), outC=outC, **kw)
 
 
+def slim_model(outC=1, **kw):
+    """tiny_model with the minimum-width 'slim' trunk: for sharding-parity
+    tests, whose XLA:CPU GSPMD compile time scales with trunk op count (the
+    parity statement — sharded step == unsharded step — is model-agnostic).
+    Full-size-model coverage lives in the torch-parity and train-loop tests."""
+    return compile_model(tiny_grid(), tiny_aug(), outC=outC,
+                         variant="slim", **kw)
+
+
 def tiny_batch(rng, B=2, N=6, H=32, W=64):
     imgs = rng.normal(size=(B, N, 3, H, W)).astype(np.float32)
     rots = np.tile(np.eye(3, dtype=np.float32), (B, N, 1, 1))
