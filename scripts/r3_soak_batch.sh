@@ -28,7 +28,7 @@ run_stage() {
   logdir=$RUNS/$name
   if [ -f "$logdir/.stage_done" ]; then log "stage $name already done, skip"; return; fi
   log "stage $name START ($*)"
-  python train_simbev.py --dataroot "$FIX" --bsz 8 --nworkers 6 \
+  python train_simbev.py --dataroot "$FIX" --bsz 8 --nworkers 3 \
       --val_step 500 --viz_step 0 --resize_lim 0.70 0.85 \
       --compute_dtype bfloat16 --watchdog_secs 300 \
       --logdir "$logdir" "$@" > "$RUNS/$name.out" 2>&1
@@ -37,7 +37,7 @@ run_stage() {
   while [ $rc -eq 42 ] && [ $tries -lt 3 ]; do
     tries=$((tries+1))
     log "stage $name watchdog exit 42, resume attempt $tries"
-    python train_simbev.py --dataroot "$FIX" --bsz 8 --nworkers 6 \
+    python train_simbev.py --dataroot "$FIX" --bsz 8 --nworkers 3 \
         --val_step 500 --viz_step 0 --resize_lim 0.70 0.85 \
         --compute_dtype bfloat16 --watchdog_secs 300 \
         --logdir "$logdir" --resume "$logdir/ckpts" "$@" >> "$RUNS/$name.out" 2>&1

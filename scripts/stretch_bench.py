@@ -6,6 +6,10 @@ fori_loop, donated state, median-of-3) — python dispatch loops under-measure
 on this remote runtime.
 
 Usage: python scripts/stretch_bench.py [--bsz 4] [--variant b4] [--iters 10]
+
+``--mode infer`` times the forward path instead (chained, same discipline)
+and accepts ``--quantize`` for int8-PTQ convs — the measurement ROADMAP
+item 3b calls for at the compute-bound stretch shapes.
 """
 
 import argparse
@@ -26,7 +30,13 @@ def main():
     p.add_argument("--variant", default="b4")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--outC", type=int, default=4)
+    p.add_argument("--mode", default="step", choices=["step", "infer"])
+    p.add_argument("--quantize", action="store_true",
+                   help="int8 PTQ convs (--mode infer only)")
+    p.add_argument("--quant_min_channels", type=int, default=64)
     args = p.parse_args()
+    if args.quantize and args.mode != "infer":
+        p.error("--quantize only applies to --mode infer")
 
     from __graft_entry__ import _enable_compile_cache
     _enable_compile_cache()
@@ -55,6 +65,45 @@ def main():
     batch = (imgs, eye, trans, intrins, eye, post_trans, binimgs)
 
     state = create_train_state(model, jax.random.PRNGKey(0), batch[:6])
+
+    if args.mode == "infer":
+        from lss_carla_tpu.training.step import make_predict_step
+        predict = make_predict_step(None, jit=False)
+
+        def body(_, x):
+            out = predict(state, (x, *batch[1:6]))
+            return x * (1.0 + 1e-12 * out[0, 0, 0, 0])
+
+        cf = jax.jit(
+            lambda x: jax.lax.fori_loop(0, args.iters, body, x))
+        t0 = time.perf_counter()
+        if args.quantize:
+            from lss_carla_tpu.ops.quant import quantized_context
+            with quantized_context(args.quant_min_channels):
+                r = cf(batch[0])
+        else:
+            r = cf(batch[0])
+        jax.block_until_ready(r)
+        print(f"compile+first chain: {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = cf(batch[0])
+            jax.block_until_ready(r)
+            times.append(time.perf_counter() - t0)
+        ms = sorted(times)[1] / args.iters / args.bsz * 1000.0
+        suffix = "_int8" if args.quantize else ""
+        print(json.dumps({
+            "metric": (f"stretch400_infer_ms_per_sample_bsz{args.bsz}"
+                       f"_{args.variant}_{args.dtype}_outC{args.outC}"
+                       f"{suffix}"),
+            "value": round(ms, 3),
+            "unit": "ms",
+            "vs_baseline": None,
+        }))
+        return
+
     raw_step = make_train_step(None, pos_weight=2.13, jit=False)
 
     def one(i, st):
