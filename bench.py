@@ -28,7 +28,7 @@ BASELINE_STEP_MS = 800.0  # 8 samples x ~100 ms/sample (see module docstring)
 
 
 def build(bsz, splat_method="scatter", dtype="float32", remat=False,
-          variant="b0"):
+          variant="b0", fused_dw=False):
     import jax
     from __graft_entry__ import _enable_compile_cache
     _enable_compile_cache()
@@ -40,7 +40,7 @@ def build(bsz, splat_method="scatter", dtype="float32", remat=False,
 
     model = compile_model(GridConf(), DataAugConf(), outC=1,
                           splat_method=splat_method, compute_dtype=dtype,
-                          remat=remat, variant=variant)
+                          remat=remat, variant=variant, fused_dw=fused_dw)
     rng = np.random.default_rng(0)
     B, N, fH, fW = bsz, 6, 128, 352
     imgs = jnp.asarray(rng.normal(size=(B, N, 3, fH, fW)).astype(np.float32))
@@ -138,7 +138,7 @@ def bench_infer(bsz, iters, dtype, quantize=False, quant_min_channels=64,
 
 
 def bench_step(bsz, iters, splat_method, dtype, remat=False, variant="b0",
-               warmup=1, accum=1):
+               warmup=1, accum=1, fused_dw=False):
     """Chained-in-jit train-step timing; prints its JSON line.
 
     ``accum > 1``: gradient accumulation — the step scans ``accum`` stacked
@@ -147,7 +147,8 @@ def bench_step(bsz, iters, splat_method, dtype, remat=False, variant="b0",
     import jax
     import jax.numpy as jnp
     from lss_carla_tpu.training.step import make_train_step
-    _, state, batch = build(bsz, splat_method, dtype, remat, variant)
+    _, state, batch = build(bsz, splat_method, dtype, remat, variant,
+                            fused_dw)
     if accum > 1:
         batch = tuple(jnp.broadcast_to(x, (accum,) + x.shape) for x in batch)
 
@@ -180,6 +181,8 @@ def bench_step(bsz, iters, splat_method, dtype, remat=False, variant="b0",
         suffix += f"_{variant}"
     if accum > 1:
         suffix += f"_accum{accum}"
+    if fused_dw:
+        suffix += "_fused_dw"
     # vs_baseline scales the 800 ms bsz-8 floor by the effective batch
     print(json.dumps({
         "metric": f"train_step_ms_bsz{bsz}{suffix}",
@@ -225,6 +228,9 @@ def main():
                    help="int8 PTQ convs; --mode infer only")
     p.add_argument("--quant_min_channels", type=int, default=64,
                    help="quantize only convs with min(cin,cout) >= this")
+    p.add_argument("--fused_dw", action="store_true",
+                   help="Pallas fused dwconv+BN-stats in the EffNet train "
+                        "path; --mode step only (ops/mbconv_pallas.py)")
     args = p.parse_args()
 
     if args.mode == "all" and args.dtype is not None:
@@ -238,6 +244,9 @@ def main():
                 "in float)")
     if args.accum > 1 and args.mode != "step":
         p.error("--accum only applies to --mode step")
+    if args.fused_dw and args.mode != "step":
+        p.error("--fused_dw only applies to --mode step (the fusion is a "
+                "train-path rewrite; eval/infer use the standard convs)")
     dtype = args.dtype or "bfloat16"
 
     if args.mode != "input":
@@ -250,7 +259,8 @@ def main():
                     args.quant_min_channels, args.variant)
     elif args.mode == "step":
         bench_step(args.bsz, args.iters, args.splat_method, dtype,
-                   args.remat, args.variant, args.warmup, args.accum)
+                   args.remat, args.variant, args.warmup, args.accum,
+                   args.fused_dw)
     else:  # all: f32 step (reference-parity dtype), inference, and the
         # headline bf16 step LAST so single-line consumers see the headline
         bench_step(args.bsz, args.iters, args.splat_method, "float32",

@@ -26,6 +26,7 @@ class CamEncode(nn.Module):
     C: int          # lifted feature channels (camC = 64)
     variant: str = "b0"    # efficientnet b0..b4, or resnet18/resnet34
     dtype: Dtype = jnp.float32
+    fused_dw: bool = False  # Pallas dwconv+BN fusion (EffNet train mode)
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -35,7 +36,8 @@ class CamEncode(nn.Module):
                                 dtype=self.dtype)
         else:
             trunk = EfficientNetTrunk(self.variant, name="trunk",
-                                      dtype=self.dtype)
+                                      dtype=self.dtype,
+                                      fused_dw=self.fused_dw)
         endpoints = trunk(x, train)
         x = Up(512, scale=2, name="up1", dtype=self.dtype)(
             endpoints["reduction_5"], endpoints["reduction_4"], train)

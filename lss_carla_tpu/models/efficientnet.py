@@ -93,6 +93,41 @@ def _bn(train: bool, name=None, dtype=jnp.float32):
                         epsilon=_BN_EPS, name=name, dtype=dtype)
 
 
+class _DWKernel(nn.Module):
+    """Parameter-compatible stand-in for ``nn.Conv(name='depthwise_conv')``:
+    declares the same ``kernel`` param (k, k, 1, mid) so fused and standard
+    traces share one checkpoint tree."""
+    mid: int
+    kernel: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", kaiming_out,
+                          (self.kernel, self.kernel, 1, self.mid))
+
+
+class _FusedBNStats(nn.Module):
+    """Parameter/stats-compatible stand-in for ``nn.BatchNorm(name='bn1')``
+    when the batch moments were already computed by the fused Pallas conv:
+    declares the same scale/bias params and mean/var running stats, applies
+    the same momentum update, returns (gamma, beta)."""
+    num: int
+
+    @nn.compact
+    def __call__(self, batch_mean, batch_var):
+        gamma = self.param("scale", nn.initializers.ones, (self.num,))
+        beta = self.param("bias", nn.initializers.zeros, (self.num,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.num,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.num,), jnp.float32))
+        if not self.is_initializing():
+            m = _BN_MOMENTUM
+            ra_mean.value = m * ra_mean.value + (1 - m) * batch_mean
+            ra_var.value = m * ra_var.value + (1 - m) * batch_var
+        return gamma, beta
+
+
 class MBConvBlock(nn.Module):
     """Mobile inverted bottleneck with squeeze-excitation and drop-connect."""
     expand: int
@@ -102,6 +137,7 @@ class MBConvBlock(nn.Module):
     cout: int
     drop_connect_rate: float = 0.0
     dtype: Dtype = jnp.float32
+    fused_dw: bool = False  # Pallas conv+BN-stats fusion (train path only)
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -113,15 +149,32 @@ class MBConvBlock(nn.Module):
             x = _bn(train, "bn0", self.dtype)(x)
             x = nn.swish(x)
 
-        # depthwise, TF-style SAME padding (matches the reference trunk's
-        # static same padding for these input sizes)
-        x = nn.Conv(mid, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride), padding="SAME",
-                    feature_group_count=mid, use_bias=False,
-                    kernel_init=kaiming_out, name="depthwise_conv",
-                    dtype=self.dtype)(x)
-        x = _bn(train, "bn1", self.dtype)(x)
-        x = nn.swish(x)
+        if self.fused_dw and train:
+            # Pallas fused depthwise conv + BN batch moments (one HBM pass
+            # fewer than the conv -> stats-reduce -> normalize pipeline;
+            # ops/mbconv_pallas.py). Shares the standard path's param tree.
+            from lss_carla_tpu.ops.mbconv_pallas import dw_conv_stats
+            k = _DWKernel(mid, self.kernel, name="depthwise_conv")()
+            y, s, ss = dw_conv_stats(
+                x, k.reshape(self.kernel, self.kernel, mid)
+                    .astype(self.dtype), self.stride)
+            count = y.shape[0] * y.shape[1] * y.shape[2]
+            mean = s / count
+            var = jnp.maximum(ss / count - mean * mean, 0.0)
+            gamma, beta = _FusedBNStats(mid, name="bn1")(mean, var)
+            scale = gamma * jax.lax.rsqrt(var + _BN_EPS)
+            z = (y.astype(jnp.float32) * scale + (beta - mean * scale))
+            x = (z * jax.nn.sigmoid(z)).astype(self.dtype)
+        else:
+            # depthwise, TF-style SAME padding (matches the reference
+            # trunk's static same padding for these input sizes)
+            x = nn.Conv(mid, (self.kernel, self.kernel),
+                        strides=(self.stride, self.stride), padding="SAME",
+                        feature_group_count=mid, use_bias=False,
+                        kernel_init=kaiming_out, name="depthwise_conv",
+                        dtype=self.dtype)(x)
+            x = _bn(train, "bn1", self.dtype)(x)
+            x = nn.swish(x)
 
         # squeeze-excitation: squeeze channels from *input* filters
         se_ch = max(1, int(self.cin * _SE_RATIO))
@@ -153,6 +206,7 @@ class EfficientNetTrunk(nn.Module):
     variant: str = "b0"
     drop_connect_rate: float = 0.2
     dtype: Dtype = jnp.float32
+    fused_dw: bool = False  # Pallas dwconv+BN-stats fusion in train mode
 
     @nn.compact
     def __call__(self, x, train: bool) -> Dict[str, jnp.ndarray]:
@@ -171,7 +225,8 @@ class EfficientNetTrunk(nn.Module):
         for idx, args in enumerate(plan):
             rate = self.drop_connect_rate * idx / len(plan)
             x = MBConvBlock(**args, drop_connect_rate=rate,
-                            name=f"block_{idx}", dtype=self.dtype)(x, train)
+                            name=f"block_{idx}", dtype=self.dtype,
+                            fused_dw=self.fused_dw)(x, train)
             if prev.shape[1] > x.shape[1]:
                 endpoints[f"reduction_{len(endpoints) + 1}"] = prev
             prev = x

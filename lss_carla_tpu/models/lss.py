@@ -37,6 +37,7 @@ class LiftSplatShoot(nn.Module):
     splat_method: str = "scatter"
     compute_dtype: str = "float32"  # "bfloat16" for the TPU fast path
     remat: bool = False  # rematerialize encoders (trade FLOPs for HBM)
+    fused_dw: bool = False  # Pallas dwconv+BN-stats fusion (EffNet, train)
 
     def setup(self):
         self.dx, self.bx, self.nx = gen_dx_bx(
@@ -53,7 +54,7 @@ class LiftSplatShoot(nn.Module):
             cam_cls = nn.remat(CamEncode, static_argnums=(2,))
             bev_cls = nn.remat(BevEncode, static_argnums=(2,))
         self.camencode = cam_cls(self.D, self.camC, self.variant,
-                                 dtype=dtype)
+                                 dtype=dtype, fused_dw=self.fused_dw)
         self.bevencode = bev_cls(self.outC, dtype=dtype)
 
     def get_geometry(self, rots, trans, intrins, post_rots, post_trans):

@@ -37,24 +37,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _dw_stats_kernel(x_ref, w_ref, y_ref, sum_ref, sumsq_ref, *, kernel,
-                     stride, H, W, C):
+                     stride, Ho, Wo, C):
     """One batch image: depthwise conv + per-channel sum/sumsq of the output.
 
-    x_ref: (1, H+2p, W+2p, C) zero-padded input slab (bf16/f32)
+    x_ref: (1, Hp, Wp, C) zero-padded input slab (bf16/f32)
     w_ref: (kernel*kernel, 1, C) depthwise taps
     y_ref: (1, Ho, Wo, C) conv output
     sum_ref, sumsq_ref: (1, C) f32 running sums over ALL grid steps
     """
     pid = pl.program_id(0)
-    Ho = (H - 1) // stride + 1
-    Wo = (W - 1) // stride + 1
 
-    slab = x_ref[0]  # (H+k-1, W+k-1, C)
+    slab = x_ref[0]  # (Hp, Wp, C)
     acc = jnp.zeros((Ho, Wo, C), jnp.float32)
     for kh in range(kernel):
         for kw in range(kernel):
-            tap = jax.lax.slice(slab, (kh, kw, 0), (kh + H, kw + W, C),
-                                (stride, stride, 1))
+            tap = jax.lax.slice(
+                slab, (kh, kw, 0),
+                (kh + stride * (Ho - 1) + 1, kw + stride * (Wo - 1) + 1, C),
+                (stride, stride, 1))
             wvec = w_ref[kh * kernel + kw, :, :]  # (1, C)
             acc = acc + tap.astype(jnp.float32) * wvec[None, :, :]
 
@@ -69,35 +69,28 @@ def _dw_stats_kernel(x_ref, w_ref, y_ref, sum_ref, sumsq_ref, *, kernel,
     sumsq_ref[...] += jnp.sum(acc * acc, axis=(0, 1))[None, :]
 
 
-def dw_conv_stats(x, w, *, stride: int = 1, interpret: bool = False):
-    """Depthwise conv (SAME padding) + per-channel batch sum/sumsq.
-
-    x: (N, H, W, C), w: (k, k, C). Returns (y (N,Ho,Wo,C) in x.dtype,
-    sum (C,) f32, sumsq (C,) f32) where the sums run over all N*Ho*Wo
-    outputs — exactly the moments training-mode BN needs.
-    """
+def _dw_conv_stats_impl(x, w, stride, interpret):
     N, H, W, C = x.shape
     k = w.shape[0]
     assert w.shape == (k, k, C), w.shape
-    pad = (k - 1) // 2
-    Ho = (H - 1) // stride + 1
-    Wo = (W - 1) // stride + 1
-    # SAME padding for odd k at stride 1/2 with TF-style symmetric halo:
-    # total pad = k-1 split (pad, k-1-pad); stride-2 SAME on even sizes
-    # needs (pad_lo, pad_hi) = (pad - (1 - H % 2) ...) — for the EffNet
-    # stages here (even H, W; odd k) TF SAME at stride 2 pads (k-1)//2 - ?
-    # We keep the model's own conv for edge semantics and use symmetric
-    # padding here; the bench compares against an identically-padded XLA
-    # conv so the measurement is apples-to-apples.
-    xp = jnp.pad(x, ((0, 0), (pad, k - 1 - pad), (pad, k - 1 - pad), (0, 0)))
+    # XLA/flax "SAME" semantics (asymmetric at stride 2 on even sizes):
+    # total = max((ceil(H/s)-1)*s + k - H, 0), split low = total//2 —
+    # exactly what nn.Conv(padding="SAME") produces, so the fused block is
+    # bit-for-bit swappable into MBConvBlock.
+    Ho = -(-H // stride)
+    Wo = -(-W // stride)
+    ph = max((Ho - 1) * stride + k - H, 0)
+    pw = max((Wo - 1) * stride + k - W, 0)
+    xp = jnp.pad(x, ((0, 0), (ph // 2, ph - ph // 2),
+                     (pw // 2, pw - pw // 2), (0, 0)))
 
     kern = functools.partial(_dw_stats_kernel, kernel=k, stride=stride,
-                             H=H, W=W, C=C)
+                             Ho=Ho, Wo=Wo, C=C)
     y, s, ss = pl.pallas_call(
         kern,
         grid=(N,),
         in_specs=[
-            pl.BlockSpec((1, H + k - 1, W + k - 1, C),
+            pl.BlockSpec((1, H + ph, W + pw, C),
                          lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k * k, 1, C), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -120,15 +113,48 @@ def dw_conv_stats(x, w, *, stride: int = 1, interpret: bool = False):
     return y, s[0], ss[0]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def dw_conv_stats(x, w, stride: int = 1, interpret: bool = False):
+    """Depthwise conv (SAME padding) + per-channel batch sum/sumsq.
+
+    x: (N, H, W, C), w: (k, k, C). Returns (y (N,Ho,Wo,C) in x.dtype,
+    sum (C,) f32, sumsq (C,) f32) where the sums run over all N*Ho*Wo
+    outputs — exactly the moments training-mode BN needs. Differentiable:
+    the backward folds the sum/sumsq cotangents into the output cotangent
+    (d sum/d y = 1, d sumsq/d y = 2y) and runs XLA's conv transposes, so
+    BN normalize + swish composed on top autodiff normally.
+    """
+    return _dw_conv_stats_impl(x, w, stride, interpret)
+
+
+def _dw_conv_stats_fwd(x, w, stride, interpret):
+    y, s, ss = _dw_conv_stats_impl(x, w, stride, interpret)
+    return (y, s, ss), (x, w, y)
+
+
+def _dw_conv_stats_bwd(stride, interpret, res, cts):
+    x, w, y = res
+    dy, dsum, dsumsq = cts
+    dy_total = (dy.astype(jnp.float32)
+                + dsum[None, None, None, :]
+                + 2.0 * y.astype(jnp.float32) * dsumsq[None, None, None, :])
+    dy_total = dy_total.astype(x.dtype)
+    _, conv_vjp = jax.vjp(lambda xx, ww: _xla_dw(xx, ww, stride), x, w)
+    dx, dw = conv_vjp(dy_total)
+    return dx, dw
+
+
+dw_conv_stats.defvjp(_dw_conv_stats_fwd, _dw_conv_stats_bwd)
+
+
 def _xla_dw(x, w, stride):
-    """The identically-padded XLA depthwise conv (baseline + bwd path)."""
+    """The identical XLA depthwise conv, SAME padding (baseline + bwd)."""
     k = w.shape[0]
     C = x.shape[-1]
-    pad = (k - 1) // 2
     return jax.lax.conv_general_dilated(
         x, w.reshape(k, k, 1, C),
         window_strides=(stride, stride),
-        padding=((pad, k - 1 - pad), (pad, k - 1 - pad)),
+        padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=C,
         preferred_element_type=x.dtype)
@@ -147,58 +173,20 @@ def _bn_swish(y, s, ss, gamma, beta, eps):
     return out.astype(y.dtype), mean, rstd
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def fused_dw_bn_swish(x, w, gamma, beta, stride=1, eps=1e-3,
                       interpret=False):
     """swish(BN_train(dwconv(x))) with the conv+stats pass fused in Pallas.
 
     Returns (out, mean, var) — mean/var so a caller can update BN running
-    stats exactly like flax's BatchNorm does.
+    stats exactly like flax's BatchNorm does. Differentiable end to end:
+    the conv+stats op carries the custom VJP; BN normalize + swish autodiff
+    in XLA (and fuse — they are elementwise with two (C,) reductions).
     """
-    y, s, ss = dw_conv_stats(x, w, stride=stride, interpret=interpret)
-    out, mean, rstd = _bn_swish(y, s, ss, gamma, beta, eps)
+    y, s, ss = dw_conv_stats(x, w, stride, interpret)
+    out, mean, _ = _bn_swish(y, s, ss, gamma, beta, eps)
     count = y.shape[0] * y.shape[1] * y.shape[2]
     var = jnp.maximum(ss / count - mean * mean, 0.0)
     return out, mean, var
-
-
-def _fused_fwd(x, w, gamma, beta, stride, eps, interpret):
-    y, s, ss = dw_conv_stats(x, w, stride=stride, interpret=interpret)
-    out, mean, rstd = _bn_swish(y, s, ss, gamma, beta, eps)
-    count = y.shape[0] * y.shape[1] * y.shape[2]
-    var = jnp.maximum(ss / count - mean * mean, 0.0)
-    return (out, mean, var), (x, w, y, mean, rstd, gamma, beta)
-
-
-def _fused_bwd(stride, eps, interpret, res, cts):
-    x, w, y, mean, rstd, gamma, beta = res
-    g = cts[0].astype(jnp.float32)  # cotangents of mean/var are dropped:
-    # callers use them only to update (non-differentiated) running stats.
-
-    yf = y.astype(jnp.float32)
-    xhat = (yf - mean) * rstd
-    z = xhat * gamma + beta
-    sig = jax.nn.sigmoid(z)
-    dz = g * sig * (1.0 + z * (1.0 - sig))
-
-    dgamma = jnp.sum(dz * xhat, axis=(0, 1, 2))
-    dbeta = jnp.sum(dz, axis=(0, 1, 2))
-
-    # training-BN input grad
-    dxhat = dz * gamma
-    dy = rstd * (dxhat
-                 - jnp.mean(dxhat, axis=(0, 1, 2), keepdims=True)
-                 - xhat * jnp.mean(dxhat * xhat, axis=(0, 1, 2),
-                                   keepdims=True))
-    dy = dy.astype(x.dtype)
-
-    # conv grads through XLA's transpose machinery
-    _, conv_vjp = jax.vjp(lambda xx, ww: _xla_dw(xx, ww, stride), x, w)
-    dx, dw = conv_vjp(dy)
-    return dx, dw, dgamma.astype(gamma.dtype), dbeta.astype(beta.dtype)
-
-
-fused_dw_bn_swish.defvjp(_fused_fwd, _fused_bwd)
 
 
 def xla_dw_bn_swish(x, w, gamma, beta, stride=1, eps=1e-3):

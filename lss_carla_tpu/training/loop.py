@@ -149,6 +149,8 @@ def train(
     splat_method: str = "scatter",
     compute_dtype: str = "float32",
     variant: str = "b0",
+    fused_dw: bool = False,            # Pallas dwconv+BN-stats fusion in the
+                                       # EffNet train path (ops/mbconv_pallas)
     outC: int = 1,
     label_mode: str = "vehicle_binary",  # "multiclass" for the stretch config
     label_classes=(0, 1, 2, 3),
@@ -312,7 +314,7 @@ def train(
 
     model = compile_model(grid_conf, data_aug_conf, outC=outC,
                           splat_method=splat_method, variant=variant,
-                          compute_dtype=compute_dtype)
+                          compute_dtype=compute_dtype, fused_dw=fused_dw)
 
     rng = jax.random.PRNGKey(seed)
     init_rng, rng = jax.random.split(rng)

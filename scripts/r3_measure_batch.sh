@@ -1,0 +1,60 @@
+#!/bin/bash
+# Round-3 TPU measurement batch (VERDICT r2 items 3, 4, 5) — runs AFTER
+# scripts/r3_soak_batch.sh finishes (waits for its ALL DONE marker; only
+# ONE TPU process at a time, CLAUDE.md).
+#
+#  A. mbconv_bench: isolated Pallas fused dwconv+BN-stats vs XLA, hot stages
+#  B. e2e bf16 train step: --fused_dw vs baseline (same session, back to
+#     back — absolute ms varies ±15% between sessions)
+#  C. int8 PTQ at the compute-bound stretch shapes (B4, 400x400, outC 4):
+#     bf16 vs int8 inference ms/sample (ROADMAP 3b's unmeasured claim)
+#  D. XLA flag sweep on the bf16 step (vmem limits)
+#  E. 96-scene nuScenes soak at the exact upstream recipe (data ladder
+#     144 -> 288 -> 608 -> 1216 train samples)
+set -u
+cd /root/repo
+RUNS=/root/runs/r3
+mkdir -p "$RUNS"
+STATUS=$RUNS/measure_status.log
+log() { echo "$(date +%F' '%H:%M:%S) $*" >> "$STATUS"; }
+
+# wait (up to 5 h) for the soak batch to release the TPU
+for i in $(seq 1 300); do
+  grep -q "ALL DONE" "$RUNS/status.log" 2>/dev/null && break
+  sleep 60
+done
+grep -q "ALL DONE" "$RUNS/status.log" || { log "soak batch never finished"; exit 1; }
+log "TPU free; starting measurements"
+
+log "A: mbconv_bench (isolated fused vs XLA)"
+timeout 3600 python scripts/mbconv_bench.py --iters 50 \
+    > "$RUNS/mbconv_bench.json" 2> "$RUNS/mbconv_bench.err"
+log "A done rc=$?"
+
+log "B: e2e bf16 step, baseline then --fused_dw"
+timeout 3600 python bench.py --mode step --dtype bfloat16 --iters 20 \
+    > "$RUNS/step_baseline.json" 2>/dev/null
+log "B baseline rc=$?"
+timeout 3600 python bench.py --mode step --dtype bfloat16 --iters 20 --fused_dw \
+    > "$RUNS/step_fused.json" 2>/dev/null
+log "B fused rc=$?"
+
+log "C: stretch int8 vs bf16 inference (B4, 400x400, outC 4)"
+timeout 5400 python scripts/stretch_bench.py --mode infer --bsz 4 --iters 10 \
+    > "$RUNS/stretch_infer_bf16.json" 2> "$RUNS/stretch_infer_bf16.err"
+log "C bf16 rc=$?"
+timeout 5400 python scripts/stretch_bench.py --mode infer --bsz 4 --iters 10 --quantize \
+    > "$RUNS/stretch_infer_int8.json" 2> "$RUNS/stretch_infer_int8.err"
+log "C int8 rc=$?"
+
+log "D: XLA flag sweep (bf16 step)"
+timeout 7200 python scripts/xla_flag_sweep.py --dtype bfloat16 --iters 20 \
+    > "$RUNS/xla_flag_sweep.json" 2> "$RUNS/xla_flag_sweep.err"
+log "D done rc=$?"
+
+log "E: 96-scene nuScenes soak (upstream recipe)"
+timeout 10800 python scripts/train_nuscenes.py --dataroot /tmp/nusc_fix96 \
+    --bsz 8 --nworkers 3 --max_steps 6000 --watchdog_secs 300 \
+    --logdir "$RUNS/nusc96" > "$RUNS/nusc96.out" 2>&1
+log "E done rc=$?"
+log "MEASUREMENTS ALL DONE"

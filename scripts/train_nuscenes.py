@@ -40,6 +40,9 @@ def main():
     p.add_argument("--host_normalize", action="store_true",
                    help="normalize images on the host (reference behavior) "
                         "instead of shipping uint8 and normalizing in-jit")
+    p.add_argument("--watchdog_secs", type=int, default=0,
+                   help="stall detector (tunnel hangs): stack dump at N s "
+                        "of no step progress, hard-exit 42 at 2N")
     args = p.parse_args()
 
     train(
@@ -63,6 +66,7 @@ def main():
         dataset="simbev" if args.simbev_data else "nuscenes",
         nuscenes_version=args.version,
         device_normalize=not args.host_normalize,
+        watchdog_secs=args.watchdog_secs,
     )
 
 

@@ -131,6 +131,9 @@ def main():
                                  'resnet18', 'resnet34'],
                         help='camera trunk: efficientnet (reference parity) '
                              'or the MXU-friendly resnet alternative')
+    parser.add_argument('--fused_dw', action='store_true',
+                        help='Pallas fused depthwise-conv+BN-stats in the '
+                             'EffNet train path (ops/mbconv_pallas.py)')
     parser.add_argument('--max_steps', type=int, default=None)
     parser.add_argument('--watchdog_secs', type=int, default=0,
                         help='stall detector: dump stacks after N s of no '
@@ -190,6 +193,7 @@ def main():
                          if args.extrinsic_noise else None),
         device_normalize=not args.host_normalize,
         variant=args.variant,
+        fused_dw=args.fused_dw,
         max_steps=args.max_steps,
         profile_dir=args.profile_dir,
         watchdog_secs=args.watchdog_secs,
