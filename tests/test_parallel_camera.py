@@ -26,7 +26,7 @@ from lss_carla_tpu.parallel.mesh import DATA_AXIS, replicate
 from lss_carla_tpu.training.loss import bce_with_logits, masked_eval_metrics
 from lss_carla_tpu.training.state import TrainState, make_optimizer
 
-from util import tiny_batch, tiny_model
+from util import slim_model, tiny_batch
 
 POS_WEIGHT = 2.13
 
@@ -35,7 +35,10 @@ pytestmark = pytest.mark.slow  # multi-device full-model CPU compiles
 
 @pytest.fixture(scope="module")
 def setup():
-    model = tiny_model()
+    # slim trunk: shard_map compile time scales with trunk op count;
+    # the sharded-vs-unsharded parity statement is model-agnostic
+    # (full-size-model coverage: torch-parity + train-loop tests)
+    model = slim_model()
     rng = np.random.default_rng(0)
     batch = tiny_batch(rng, B=2, N=6)
     init = jax.jit(lambda r, *a: model.init({"params": r}, *a, train=False))
@@ -119,6 +122,15 @@ def test_train_step_executes_and_replicates(setup):
     # replicas still reference (observed as a hard abort). Deep-copy EVERY
     # array leaf (params, batch_stats, opt_state) so the donated tree owns
     # its buffers, and keep host snapshots for the before/after asserts.
+    #
+    # ROOT-CAUSED (round 3, scripts/camera_abort_repro.py): --mode alias
+    # reproduces it on demand — donate a replicate() of a shared state,
+    # then touch any other replica of the same source. When jax's
+    # dispatch-time _check_if_deleted catches the access it raises a clean
+    # "Array has been deleted" RuntimeError; when the freed buffer is hit
+    # inside the runtime (async fetch) it is the silent C++ abort round 2
+    # saw. With deep copies (--mode sequence: all programs cold-compiled
+    # and executed back-to-back at a 2x3 mesh) trials run clean.
     params_np = jax.tree_util.tree_map(np.asarray, state.params)
     bs_np = jax.tree_util.tree_map(np.asarray, state.batch_stats)
     private = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),

@@ -26,7 +26,7 @@ from lss_carla_tpu.training.loss import masked_eval_metrics
 from lss_carla_tpu.training.state import TrainState, make_optimizer
 from lss_carla_tpu.training.step import make_train_step
 
-from util import tiny_batch, tiny_model
+from util import slim_model, tiny_batch
 
 POS_WEIGHT = 2.13
 
@@ -43,7 +43,10 @@ def _fresh_state(model, batch):
 
 @pytest.fixture(scope="module")
 def setup():
-    model = tiny_model()
+    # slim trunk: GSPMD compile time scales with trunk op count;
+    # the sharded-vs-unsharded parity statement is model-agnostic
+    # (full-size-model coverage: torch-parity + train-loop tests)
+    model = slim_model()
     rng = np.random.default_rng(0)
     # B=4: divisible by the 4-way (data x grid) lift sharding of the
     # (2, 2) predict mesh; the train/eval tests slice it to B=2
