@@ -80,9 +80,11 @@ def _build(dataroot, bsz=4, nworkers=4, H=None, W=None,
         print(f"restored checkpoint step={meta.get('counter')}"
               + (" (best)" if best else ""))
         if use_ema:
-            # evaluate the averaged model (a no-EMA checkpoint was seeded
-            # ema=params by the tolerant restore, so this is then a no-op)
-            state = state.replace(params=state.ema_params)
+            # evaluate the averaged model — params AND batch_stats (a
+            # no-EMA checkpoint was seeded ema=params/batch_stats by the
+            # tolerant restore, so this is then a no-op)
+            state = state.replace(params=state.ema_params,
+                                  batch_stats=state.ema_batch_stats)
     return model, state, trainloader, valloader, grid_conf, aug_conf
 
 

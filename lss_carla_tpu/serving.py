@@ -150,7 +150,8 @@ def _main():
     print(f"restored step={meta.get('counter')}"
           + (" (best)" if args.best else ""))
     if args.ema:
-        state = state.replace(params=state.ema_params)
+        state = state.replace(params=state.ema_params,
+                              batch_stats=state.ema_batch_stats)
     export_predict(model, state, args.out, bsz=args.bsz,
                    uint8_images=args.uint8, platforms=args.platforms,
                    quantize=args.quantize, ncams=args.ncams)

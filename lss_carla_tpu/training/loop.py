@@ -210,6 +210,13 @@ def train(
         raise ValueError("accum_steps > 1 is not supported together with "
                          "cam_devices/grid_devices > 1 (accumulate on the "
                          "data axis or shard the model, not both)")
+    if fused_dw and (cam_devices > 1 or grid_devices > 1):
+        # the Pallas conv+stats call has no GSPMD partitioning rule: fine
+        # inside the shard_map DP step (per-shard local shapes, per-chip BN
+        # like the rest of that path) but not under the one-program
+        # grid/camera meshes
+        raise ValueError("--fused_dw composes with data parallelism only; "
+                         "drop it for cam_devices/grid_devices > 1")
     if cam_devices > 1:
         if n_devices % cam_devices != 0:
             raise ValueError(f"n_devices={n_devices} must be divisible by "
@@ -369,7 +376,11 @@ def train(
                               # not alias — the train step donates both)
                               ema_params=(jax.tree_util.tree_map(
                                   jnp.copy, merged["params"])
-                                  if state.ema_params is not None else None))
+                                  if state.ema_params is not None else None),
+                              ema_batch_stats=(jax.tree_util.tree_map(
+                                  jnp.copy, merged["batch_stats"])
+                                  if state.ema_batch_stats is not None
+                                  else None))
         print(f"Loaded pretrained trunk from {pretrained_trunk}")
 
     # mesh + state placement BEFORE checkpoint restore: a multi-controller
@@ -476,8 +487,16 @@ def train(
     def eval_state_of(s):
         """State whose params validation/val-viz should read: the EMA
         average when tracked (the model that would be served), else the
-        raw training params."""
-        return s.replace(params=s.ema_params) if ema_decay else s
+        raw training params. The EMA params come with the EMA batch_stats
+        — a weight/BN-stat pair that lags by the same horizon (mixing EMA
+        params with current stats measured val IoU 0.000 where the raw
+        model scores 0.65; see TrainState.ema_batch_stats)."""
+        if not ema_decay:
+            return s
+        return s.replace(params=s.ema_params,
+                         batch_stats=(s.ema_batch_stats
+                                      if s.ema_batch_stats is not None
+                                      else s.batch_stats))
 
     predict_fn = None
     viz_val_batch = None  # fetched once, mesh-placed once, reused forever

@@ -29,20 +29,32 @@ class TrainState(flax_train_state.TrainState):
     # None is an empty pytree subtree, so checkpoints written without EMA
     # keep their exact saved structure.
     ema_params: Any = None
+    # EMA of ``batch_stats``, maintained alongside ``ema_params``: the
+    # averaged params must be evaluated with BN running stats that lag by
+    # the SAME horizon, or the intermediate activation distributions the
+    # stats describe don't match the weights producing them. (Measured:
+    # EMA params + *current* stats held val IoU at 0.000 for 3.5k steps on
+    # the recipe where the raw model reaches 0.65 — docs/ACCURACY.md
+    # round-3 ablations. torch's ModelEmaV2 averages BN buffers for the
+    # same reason.)
+    ema_batch_stats: Any = None
 
 
 def ema_update(state: TrainState, decay: float) -> TrainState:
-    """One EMA step over the (already updated) ``state.params``.
+    """One EMA step over the (already updated) ``state.params`` and
+    ``state.batch_stats``.
 
-    ``ema <- decay * ema + (1 - decay) * params``, initialized at the
-    step-0 params by ``create_train_state`` (no zero-init bias, so no
+    ``ema <- decay * ema + (1 - decay) * x``, initialized at the
+    step-0 values by ``create_train_state`` (no zero-init bias, so no
     debiasing term is needed). Pure elementwise math on replicated values —
     safe inside ``shard_map`` without any reduction.
     """
-    new_ema = jax.tree_util.tree_map(
-        lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
-        state.ema_params, state.params)
-    return state.replace(ema_params=new_ema)
+    avg = lambda e, x: e * decay + x.astype(e.dtype) * (1.0 - decay)
+    new_ema = jax.tree_util.tree_map(avg, state.ema_params, state.params)
+    new_ema_bs = (jax.tree_util.tree_map(avg, state.ema_batch_stats,
+                                         state.batch_stats)
+                  if state.ema_batch_stats is not None else None)
+    return state.replace(ema_params=new_ema, ema_batch_stats=new_ema_bs)
 
 
 def make_lr_schedule(lr: float, lr_schedule: str = "constant",
@@ -117,6 +129,9 @@ def create_train_state(model, rng, sample_args, lr: float = 1e-3,
         # ("attempt to donate the same buffer twice")
         ema_params=(jax.tree_util.tree_map(jnp.copy, params)
                     if ema_decay > 0 else None),
+        ema_batch_stats=(jax.tree_util.tree_map(
+            jnp.copy, variables.get("batch_stats", {}))
+            if ema_decay > 0 else None),
         tx=make_optimizer(lr, weight_decay, max_grad_norm,
                           lr_schedule, warmup_steps, decay_steps),
     )
@@ -126,31 +141,60 @@ def restore_train_state(mgr, state: TrainState, step=None, best: bool = False):
     """Restore ``state`` from a CheckpointManager, tolerant of EMA-tracking
     mismatches between this run's config and the checkpoint (both ways):
 
-    * run tracks EMA, checkpoint predates it -> restore without the EMA
-      subtree and seed EMA from the restored params;
-    * run has EMA off, checkpoint carries it -> restore with the subtree
-      (its leaves are params-shaped) and drop it.
+    * run tracks EMA, checkpoint predates it (no EMA at all, or the
+      round-2 params-only EMA format without ``ema_batch_stats``) ->
+      restore what the checkpoint has and seed the missing EMA subtrees
+      from the restored params/batch_stats;
+    * run has EMA off, checkpoint carries EMA subtrees (either format) ->
+      restore with them present and drop them.
 
     Returns ``(state, meta)`` like ``CheckpointManager.restore``.
     """
     from lss_carla_tpu.utils.checkpoint import ocp_abstract
     abstract = jax.tree_util.tree_map(ocp_abstract, state)
-    try:
-        return mgr.restore(abstract, step=step, best=best)
-    except Exception as exc:
+    if state.ema_params is not None:
+        # this run tracks EMA; fallbacks cover older checkpoint formats
+        candidates = [
+            (abstract, None),
+            (abstract.replace(ema_batch_stats=None),
+             "checkpoint has params-only EMA (round-2 format); seeding "
+             "EMA batch_stats from the restored batch_stats"),
+            (abstract.replace(ema_params=None, ema_batch_stats=None),
+             "checkpoint has no EMA subtrees; seeding EMA from the "
+             "restored params/batch_stats"),
+        ]
+    else:
+        # this run does not track EMA; fallbacks absorb checkpoints that do
         params_abs = jax.tree_util.tree_map(ocp_abstract, state.params)
+        bs_abs = jax.tree_util.tree_map(ocp_abstract, state.batch_stats)
+        drop = "checkpoint carries EMA subtrees this run does not track; " \
+               "dropped"
+        candidates = [
+            (abstract, None),
+            (abstract.replace(ema_params=params_abs,
+                              ema_batch_stats=bs_abs), drop),
+            (abstract.replace(ema_params=params_abs), drop),
+        ]
+    first_exc = None
+    for alt, note in candidates:
         try:
-            if state.ema_params is not None:
-                alt = abstract.replace(ema_params=None)
-                restored, meta = mgr.restore(alt, step=step, best=best)
-                print("checkpoint has no EMA params; seeding EMA from the "
-                      "restored params")
-                seed = jax.tree_util.tree_map(jnp.copy, restored.params)
-                return restored.replace(ema_params=seed), meta
-            alt = abstract.replace(ema_params=params_abs)
             restored, meta = mgr.restore(alt, step=step, best=best)
-            print("checkpoint carries EMA params this run does not track; "
-                  "dropped")
-            return restored.replace(ema_params=None), meta
-        except Exception:
-            raise exc  # mismatch wasn't about EMA — surface the real error
+        except Exception as exc:
+            if first_exc is None:
+                first_exc = exc
+            continue
+        if note:
+            print(note)
+        if state.ema_params is not None:
+            if restored.ema_params is None:
+                restored = restored.replace(ema_params=jax.tree_util.tree_map(
+                    jnp.copy, restored.params))
+            if restored.ema_batch_stats is None:
+                restored = restored.replace(
+                    ema_batch_stats=jax.tree_util.tree_map(
+                        jnp.copy, restored.batch_stats))
+        else:
+            restored = restored.replace(ema_params=None,
+                                        ema_batch_stats=None)
+        return restored, meta
+    raise first_exc  # mismatch wasn't about EMA — surface the real error

@@ -40,6 +40,12 @@ def test_ema_seeded_at_init(model_state_batch):
     for e, p in zip(jax.tree_util.tree_leaves(state.ema_params),
                     jax.tree_util.tree_leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(e), np.asarray(p))
+    # batch_stats are averaged too: EMA params must pair with BN running
+    # stats lagging by the same horizon (TrainState.ema_batch_stats)
+    assert state.ema_batch_stats is not None
+    for e, b in zip(jax.tree_util.tree_leaves(state.ema_batch_stats),
+                    jax.tree_util.tree_leaves(state.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(e), np.asarray(b))
 
 
 def test_ema_off_by_default(model_state_batch):
@@ -80,6 +86,27 @@ def test_ema_matches_manual_recursion(model_state_batch):
     diffs = [float(jnp.max(jnp.abs(e - p))) for e, p in zip(
         jax.tree_util.tree_leaves(s.ema_params),
         jax.tree_util.tree_leaves(s.params))]
+    assert max(diffs) > 0
+
+
+def test_ema_batch_stats_match_manual_recursion(model_state_batch):
+    model, state, batch = model_state_batch
+    step = make_train_step(model, ema_decay=DECAY)
+    s = _copy(state)
+    expected = _copy(state.batch_stats)
+    for i in range(3):
+        s, _ = step(s, batch, jax.random.PRNGKey(i))
+        expected = jax.tree_util.tree_map(
+            lambda e, b: e * DECAY + b * (1.0 - DECAY),
+            expected, s.batch_stats)
+    for got, want in zip(jax.tree_util.tree_leaves(s.ema_batch_stats),
+                         jax.tree_util.tree_leaves(expected)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-7)
+    # and they lag the raw running stats
+    diffs = [float(jnp.max(jnp.abs(e - b))) for e, b in zip(
+        jax.tree_util.tree_leaves(s.ema_batch_stats),
+        jax.tree_util.tree_leaves(s.batch_stats))]
     assert max(diffs) > 0
 
 
@@ -124,18 +151,44 @@ def test_checkpoint_roundtrip_and_mismatch_tolerance(model_state_batch,
     target_plain = create_train_state(model, jax.random.PRNGKey(0), batch[:6])
     restored2, _ = restore_train_state(mgr, target_plain)
     assert restored2.ema_params is None
+    assert restored2.ema_batch_stats is None
     for got, want in zip(jax.tree_util.tree_leaves(restored2.params),
                          jax.tree_util.tree_leaves(s.params)):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
     # EMA run <- non-EMA checkpoint: EMA seeded from the restored params
+    # and batch_stats
     mgr2 = CheckpointManager(str(tmp_path / "plain_ckpt"))
-    s_plain = s.replace(ema_params=None)
+    s_plain = s.replace(ema_params=None, ema_batch_stats=None)
     mgr2.save(1, s_plain, epoch=0)
     restored3, _ = restore_train_state(mgr2, target)
     for got, want in zip(jax.tree_util.tree_leaves(restored3.ema_params),
                          jax.tree_util.tree_leaves(s_plain.params)):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    for got, want in zip(
+            jax.tree_util.tree_leaves(restored3.ema_batch_stats),
+            jax.tree_util.tree_leaves(s_plain.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # EMA run <- round-2 params-only-EMA checkpoint: ema_batch_stats seeded
+    # from the restored batch_stats, ema_params restored as saved
+    mgr3 = CheckpointManager(str(tmp_path / "r2_ckpt"))
+    s_r2 = s.replace(ema_batch_stats=None)
+    mgr3.save(1, s_r2, epoch=0)
+    restored4, _ = restore_train_state(mgr3, target)
+    for got, want in zip(jax.tree_util.tree_leaves(restored4.ema_params),
+                         jax.tree_util.tree_leaves(s_r2.ema_params)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    for got, want in zip(
+            jax.tree_util.tree_leaves(restored4.ema_batch_stats),
+            jax.tree_util.tree_leaves(s_r2.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # non-EMA run <- round-2 params-only-EMA checkpoint: dropped
+    restored5, _ = restore_train_state(mgr3, target_plain)
+    assert restored5.ema_params is None
+    assert restored5.ema_batch_stats is None
 
     mgr.close()
     mgr2.close()
+    mgr3.close()

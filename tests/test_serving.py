@@ -69,7 +69,7 @@ def test_export_cli_from_checkpoint(tmp_path, rng, monkeypatch, capsys):
     assert "ema" in capsys.readouterr().out
 
     want = model.apply({"params": state.ema_params,
-                        "batch_stats": state.batch_stats},
+                        "batch_stats": state.ema_batch_stats},
                        *batch[:6], train=False)
     got = load_predict(out)(*batch[:6])
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),

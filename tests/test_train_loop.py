@@ -204,12 +204,15 @@ def test_train_with_ema_validates_and_resumes(fixture_root, tmp_path):
                  jax.tree_util.tree_leaves(st.params))]
     assert max(diffs) > 0
 
+    assert st.ema_batch_stats is not None
+
     result2, _ = _run(
         fixture_root, tmp_path, **GRID_64, ema_decay=0.9,
         resume=os.path.join(args["logdir"], "ckpts"),
         max_steps=4, nepochs=2)
     assert result2["counter"] == 4
     assert result2["state"].ema_params is not None
+    assert result2["state"].ema_batch_stats is not None
 
 
 def test_train_with_accum_steps(fixture_root, tmp_path):
