@@ -19,11 +19,16 @@ fwd-only by design — measure-or-kill discipline, see
 Reference cost center: the MBConv blocks the torch reference spends its
 trunk time in (reference ``src/models.py:63-84``).
 
-Layout: NHWC with channels on the lane axis. One grid step per batch image;
-the (H+2p, W+2p, C) padded input, f32 accumulator and output block for one
-image must fit VMEM — true for every B0..B4 stage (spatial size shrinks as
-channels grow). Stats accumulate in f32 across sequential grid steps in the
-output blocks themselves (constant index_map keeps them VMEM-resident).
+Layout: NHWC with channels on the lane axis. Grid (N, row-chunks): the
+(H+2p, W+2p, C) padded input slab for one image stays VMEM-resident across
+its row-chunk steps (constant-in-j index map), while the output and the f32
+accumulator are CHUNK-sized (TH output rows at a time, accumulated through a
+VMEM scratch ref). Chunking bounds Mosaic's scoped-VMEM stack: a whole-image
+f32 accumulator with the k*k tap products unrolled blew the 16 MB scoped
+limit at the early large-spatial stages (measured: 17-28 MB for
+(64,176,32)-shaped outputs — Mosaic does not reuse the unrolled taps'
+stack slots). Stats accumulate in f32 across ALL grid steps in the
+(1, C) output blocks themselves (constant index_map keeps them resident).
 """
 
 from __future__ import annotations
@@ -36,37 +41,63 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _dw_stats_kernel(x_ref, w_ref, y_ref, sum_ref, sumsq_ref, *, kernel,
-                     stride, Ho, Wo, C):
-    """One batch image: depthwise conv + per-channel sum/sumsq of the output.
+def _dw_stats_kernel(x_ref, w_ref, y_ref, sum_ref, sumsq_ref, acc_ref, *,
+                     kernel, stride, TH, Wo, C):
+    """One (image, row-chunk) grid step: depthwise conv of TH output rows +
+    per-channel sum/sumsq accumulation.
 
-    x_ref: (1, Hp, Wp, C) zero-padded input slab (bf16/f32)
+    x_ref: stride 1 — (1, Hp, Wp, C) zero-padded input slab (bf16/f32),
+           the SAME slab for every row-chunk of image i (constant-in-j map);
+           stride 2 — (1, 2, 2, Hs, Ws, C) polyphase slabs (see impl: Mosaic
+           only lowers stride-1 vector slices, so the even/odd deinterleave
+           happens in XLA outside the kernel and every tap here is stride-1)
     w_ref: (kernel*kernel, 1, C) depthwise taps
-    y_ref: (1, Ho, Wo, C) conv output
+    y_ref: (1, TH, Wo, C) conv output rows [j*TH, (j+1)*TH)
     sum_ref, sumsq_ref: (1, C) f32 running sums over ALL grid steps
+    acc_ref: (TH, Wo, C) f32 VMEM scratch — accumulating through a ref keeps
+             the unrolled taps' temporaries chunk-sized (pure dataflow
+             accumulation made Mosaic stack-allocate one whole-output f32
+             temporary PER TAP, 17-28 MB at the early stages)
     """
-    pid = pl.program_id(0)
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    r0 = j * TH  # first output row of this chunk
 
-    slab = x_ref[0]  # (Hp, Wp, C)
-    acc = jnp.zeros((Ho, Wo, C), jnp.float32)
+    acc_ref[...] = jnp.zeros_like(acc_ref)
     for kh in range(kernel):
         for kw in range(kernel):
-            tap = jax.lax.slice(
-                slab, (kh, kw, 0),
-                (kh + stride * (Ho - 1) + 1, kw + stride * (Wo - 1) + 1, C),
-                (stride, stride, 1))
+            if stride == 1:
+                tap = x_ref[0, pl.ds(r0 + kh, TH), pl.ds(kw, Wo), :]
+            else:
+                # tap (kh, kw) reads padded rows 2i+kh = 2(i + kh//2) + kh%2,
+                # i.e. a stride-1 window of the (kh%2, kw%2) phase slab.
+                a, b = kh // 2, kw // 2
+                tap = x_ref[0, kh % 2, kw % 2,
+                            pl.ds(r0 + a, TH), pl.ds(b, Wo), :]
             wvec = w_ref[kh * kernel + kw, :, :]  # (1, C)
-            acc = acc + tap.astype(jnp.float32) * wvec[None, :, :]
+            acc_ref[...] += tap.astype(jnp.float32) * wvec[None, :, :]
 
+    acc = acc_ref[...]
     y_ref[0] = acc.astype(y_ref.dtype)
 
-    @pl.when(pid == 0)
+    @pl.when((i == 0) & (j == 0))
     def _():
         sum_ref[...] = jnp.zeros_like(sum_ref)
         sumsq_ref[...] = jnp.zeros_like(sumsq_ref)
 
     sum_ref[...] += jnp.sum(acc, axis=(0, 1))[None, :]
     sumsq_ref[...] += jnp.sum(acc * acc, axis=(0, 1))[None, :]
+
+
+def _row_chunk(Ho, Wo, C):
+    """Largest divisor TH of Ho keeping the chunk accumulator ≤ ~1 MiB (a
+    handful of chunk-sized f32 temporaries then stay well inside the 16 MiB
+    scoped-VMEM stack)."""
+    budget = (1 << 20) // (Wo * C * 4)
+    for th in range(min(Ho, max(budget, 1)), 0, -1):
+        if Ho % th == 0:
+            return th
+    return Ho
 
 
 def _dw_conv_stats_impl(x, w, stride, interpret):
@@ -84,14 +115,34 @@ def _dw_conv_stats_impl(x, w, stride, interpret):
     xp = jnp.pad(x, ((0, 0), (ph // 2, ph - ph // 2),
                      (pw // 2, pw - pw // 2), (0, 0)))
 
+    if stride == 1:
+        x_in = xp
+        x_spec = pl.BlockSpec((1, H + ph, W + pw, C),
+                              lambda i: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    elif stride == 2:
+        # Polyphase deinterleave in XLA (Mosaic can't strided-slice inside
+        # the kernel): pad to even 2*Hs x 2*Ws, split rows/cols by parity.
+        # Hs/Ws cover every tap's window: phase slab row a+i needs
+        # a <= (k-1)//2 and i <= Ho-1.
+        Hs = Ho + (k - 1) // 2
+        Ws = Wo + (k - 1) // 2
+        xp = jnp.pad(xp, ((0, 0), (0, 2 * Hs - xp.shape[1]),
+                          (0, 2 * Ws - xp.shape[2]), (0, 0)))
+        x_in = xp.reshape(N, Hs, 2, Ws, 2, C).transpose(0, 2, 4, 1, 3, 5)
+        x_spec = pl.BlockSpec((1, 2, 2, Hs, Ws, C),
+                              lambda i: (i, 0, 0, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        raise NotImplementedError(f"stride {stride}")
+
     kern = functools.partial(_dw_stats_kernel, kernel=k, stride=stride,
                              Ho=Ho, Wo=Wo, C=C)
     y, s, ss = pl.pallas_call(
         kern,
         grid=(N,),
         in_specs=[
-            pl.BlockSpec((1, H + ph, W + pw, C),
-                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            x_spec,
             pl.BlockSpec((k * k, 1, C), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -109,7 +160,7 @@ def _dw_conv_stats_impl(x, w, stride, interpret):
             jax.ShapeDtypeStruct((1, C), jnp.float32),
         ),
         interpret=interpret,
-    )(xp, w.reshape(k * k, 1, C))
+    )(x_in, w.reshape(k * k, 1, C))
     return y, s[0], ss[0]
 
 

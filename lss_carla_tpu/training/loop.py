@@ -343,8 +343,20 @@ def train(
         print(f"  lr schedule: {lr_schedule}, warmup {warmup_steps}, "
               f"decay over {decay_steps} steps (auto)")
     if ema_decay:
-        print(f"  EMA tracking on (decay {ema_decay}): validation and "
-              "best-IoU use the averaged params")
+        horizon = 1.0 / max(1.0 - ema_decay, 1e-9)
+        planned = (max_steps if max_steps is not None
+                   else nepochs * (len(trainloader) // accum_steps))
+        print(f"  EMA tracking on (decay {ema_decay}, warmup-ramped, "
+              f"~{horizon:.0f}-step horizon): validation and best-IoU use "
+              "the averaged params + batch stats")
+        if planned and horizon > 0.1 * planned:
+            print(f"  WARNING: EMA horizon ~{horizon:.0f} steps is "
+                  f">10% of the planned {planned} updates — the average "
+                  "will lag a still-moving model (BN variances drift ~10x "
+                  "over a run; a stale-horizon EMA can collapse val IoU, "
+                  "see docs/ACCURACY.md round-3 ablations). Use a decay "
+                  f"with 1/(1-decay) well under {planned // 10} for this "
+                  "run length.")
     state = create_train_state(model, init_rng, sample_args, lr=lr,
                                weight_decay=weight_decay,
                                max_grad_norm=max_grad_norm,

@@ -40,16 +40,32 @@ class TrainState(flax_train_state.TrainState):
     ema_batch_stats: Any = None
 
 
-def ema_update(state: TrainState, decay: float) -> TrainState:
+def ema_update(state: TrainState, decay: float,
+               warmup: bool = True) -> TrainState:
     """One EMA step over the (already updated) ``state.params`` and
     ``state.batch_stats``.
 
-    ``ema <- decay * ema + (1 - decay) * x``, initialized at the
-    step-0 values by ``create_train_state`` (no zero-init bias, so no
-    debiasing term is needed). Pure elementwise math on replicated values —
-    safe inside ``shard_map`` without any reduction.
+    ``ema <- d_t * ema + (1 - d_t) * x``, initialized at the step-0 values
+    by ``create_train_state``. With ``warmup`` (default) the effective decay
+    ramps as ``d_t = min(decay, (1 + t) / (10 + t))`` with ``t =
+    state.step`` (timm ModelEmaV3's rule): early in training the EMA then
+    approximates the cumulative mean instead of clinging to near-initial
+    weights, and the averaging horizon grows with run length instead of
+    jumping straight to the full ``1 / (1 - decay)`` lag. This matters
+    doubly for ``ema_batch_stats``: BN variances can shrink by ~10x as
+    training progresses (measured, docs/ACCURACY.md round-3 ablations), so
+    a horizon much longer than the stats' drift timescale produces variance
+    estimates that no longer describe the averaged weights' activations —
+    pick ``decay`` so ``1/(1-decay)`` is well under ~10% of the run length.
+    Pure elementwise math on replicated values — safe inside ``shard_map``
+    without any reduction.
     """
-    avg = lambda e, x: e * decay + x.astype(e.dtype) * (1.0 - decay)
+    if warmup:
+        t = jnp.asarray(state.step, jnp.float32)
+        d = jnp.minimum(decay, (1.0 + t) / (10.0 + t))
+    else:
+        d = decay
+    avg = lambda e, x: e * d + x.astype(e.dtype) * (1.0 - d)
     new_ema = jax.tree_util.tree_map(avg, state.ema_params, state.params)
     new_ema_bs = (jax.tree_util.tree_map(avg, state.ema_batch_stats,
                                          state.batch_stats)

@@ -21,16 +21,29 @@ import orbax.checkpoint as ocp
 def ocp_abstract(x):
     """Abstract leaf for orbax restore targets.
 
-    Single-process: shape/dtype only (restores as host arrays, placed by the
-    caller). Multi-process: the leaf's global NamedSharding must ride along —
-    orbax then restores each process's addressable shards directly, the only
+    The leaf's sharding rides along whenever the target is a concrete
+    ``jax.Array``. Multi-process: mandatory — orbax restores each process's
+    addressable shards of the global NamedSharding directly, the only
     correct multi-controller path (the caller pre-places the target state on
-    the global mesh before restoring, see ``training/loop.py``)."""
+    the global mesh before restoring, see ``training/loop.py``). Single
+    process: the target's (single-device) sharding lets orbax restore a
+    checkpoint written on a DIFFERENT backend — e.g. a TPU-trained
+    checkpoint evaluated on CPU — where falling back to the sharding saved
+    in the checkpoint would name unavailable devices. Non-array leaves
+    (python ints like a fresh state's ``step``, optax counters) get the
+    default device's sharding for the same reason: the checkpointed side
+    saved them as device arrays."""
     import jax
     import jax.numpy as jnp
-    sharding = None
-    if jax.process_count() > 1 and isinstance(x, jax.Array):
+    if isinstance(x, jax.Array):
         sharding = x.sharding
+    elif jax.process_count() == 1:
+        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    else:
+        # multi-controller: device 0 may not be addressable from this
+        # process; the caller pre-places every leaf on the global mesh
+        # anyway (loop.py), so plain leaves stay sharding-free
+        sharding = None
     return jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x),
                                 sharding=sharding)
 

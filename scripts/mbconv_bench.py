@@ -38,7 +38,9 @@ def chain(fn, x, iters):
 
     def body(_, xx):
         out = fn(xx)
-        return xx * (1.0 + 1e-12 * out)
+        # keep the carry dtype stable (fn reduces in f32; a bf16 carry would
+        # otherwise widen and fail fori_loop's type check)
+        return (xx * (1.0 + 1e-12 * out)).astype(xx.dtype)
 
     return jax.jit(lambda xx: jax.lax.fori_loop(0, iters, body, xx))
 

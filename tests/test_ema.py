@@ -69,6 +69,12 @@ def test_donated_step_accepts_freshly_created_state(model_state_batch):
     assert s2.ema_params is not None
 
 
+def _eff_decay(t):
+    """The warmup-ramped decay ema_update applies at step t (see
+    training/state.ema_update): min(DECAY, (1+t)/(10+t))."""
+    return min(DECAY, (1.0 + t) / (10.0 + t))
+
+
 def test_ema_matches_manual_recursion(model_state_batch):
     model, state, batch = model_state_batch
     step = make_train_step(model, ema_decay=DECAY)
@@ -76,8 +82,9 @@ def test_ema_matches_manual_recursion(model_state_batch):
     expected = _copy(state.params)
     for i in range(3):
         s, _ = step(s, batch, jax.random.PRNGKey(i))
+        d = _eff_decay(int(s.step))
         expected = jax.tree_util.tree_map(
-            lambda e, p: e * DECAY + p * (1.0 - DECAY), expected, s.params)
+            lambda e, p: e * d + p * (1.0 - d), expected, s.params)
     for got, want in zip(jax.tree_util.tree_leaves(s.ema_params),
                          jax.tree_util.tree_leaves(expected)):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -96,8 +103,9 @@ def test_ema_batch_stats_match_manual_recursion(model_state_batch):
     expected = _copy(state.batch_stats)
     for i in range(3):
         s, _ = step(s, batch, jax.random.PRNGKey(i))
+        d = _eff_decay(int(s.step))
         expected = jax.tree_util.tree_map(
-            lambda e, b: e * DECAY + b * (1.0 - DECAY),
+            lambda e, b: e * d + b * (1.0 - d),
             expected, s.batch_stats)
     for got, want in zip(jax.tree_util.tree_leaves(s.ema_batch_stats),
                          jax.tree_util.tree_leaves(expected)):
@@ -110,6 +118,28 @@ def test_ema_batch_stats_match_manual_recursion(model_state_batch):
     assert max(diffs) > 0
 
 
+def test_ema_warmup_ramp(model_state_batch):
+    """The effective decay ramps (1+t)/(10+t) early and caps at `decay`
+    late; warmup=False applies the flat decay at any step."""
+    from lss_carla_tpu.training.state import ema_update
+    _, state, _ = model_state_batch
+    ones = jax.tree_util.tree_map(jnp.ones_like, state.params)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+
+    def first_leaf(tree):
+        return float(jax.tree_util.tree_leaves(tree)[0].ravel()[0])
+
+    for t, want in [(1, min(DECAY, 2 / 11)), (4, min(DECAY, 5 / 14)),
+                    (10_000, DECAY)]:
+        s = state.replace(step=jnp.asarray(t, jnp.int32),
+                          params=zeros, ema_params=ones,
+                          batch_stats={}, ema_batch_stats=None)
+        got = first_leaf(ema_update(s, DECAY).ema_params)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+        got_flat = first_leaf(ema_update(s, DECAY, warmup=False).ema_params)
+        np.testing.assert_allclose(got_flat, DECAY, rtol=1e-6)
+
+
 def test_sharded_step_keeps_ema_replicated(model_state_batch):
     from lss_carla_tpu.parallel import (make_mesh, make_sharded_train_step,
                                         replicate, shard_batch)
@@ -119,8 +149,9 @@ def test_sharded_step_keeps_ema_replicated(model_state_batch):
     prev_ema = _copy(state.ema_params)
     step = make_sharded_train_step(model, mesh, ema_decay=DECAY)
     s, _ = step(s, shard_batch(mesh, batch), jax.random.PRNGKey(0))
+    d = _eff_decay(int(s.step))
     expected = jax.tree_util.tree_map(
-        lambda e, p: e * DECAY + np.asarray(p) * (1.0 - DECAY),
+        lambda e, p: e * d + np.asarray(p) * (1.0 - d),
         prev_ema, s.params)
     for got, want in zip(jax.tree_util.tree_leaves(s.ema_params),
                          jax.tree_util.tree_leaves(expected)):
