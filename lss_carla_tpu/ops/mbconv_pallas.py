@@ -89,11 +89,14 @@ def _dw_stats_kernel(x_ref, w_ref, y_ref, sum_ref, sumsq_ref, acc_ref, *,
     sumsq_ref[...] += jnp.sum(acc * acc, axis=(0, 1))[None, :]
 
 
-def _row_chunk(Ho, Wo, C):
-    """Largest divisor TH of Ho keeping the chunk accumulator ≤ ~1 MiB (a
-    handful of chunk-sized f32 temporaries then stay well inside the 16 MiB
-    scoped-VMEM stack)."""
-    budget = (1 << 20) // (Wo * C * 4)
+def _row_chunk(Ho, Wo, C, k):
+    """Largest divisor TH of Ho keeping even the WORST-case scoped-VMEM
+    stack small: round 3 measured that Mosaic does not reuse the unrolled
+    taps' stack slots (17-28 MB observed for whole-image accumulation at
+    the (64,176,32) stages), so budget as if all k*k chunk-sized f32 tap
+    temporaries are live at once, within ~4 MiB of the 16 MiB scoped
+    limit."""
+    budget = (4 << 20) // (k * k * Wo * C * 4)
     for th in range(min(Ho, max(budget, 1)), 0, -1):
         if Ho % th == 0:
             return th
@@ -118,7 +121,7 @@ def _dw_conv_stats_impl(x, w, stride, interpret):
     if stride == 1:
         x_in = xp
         x_spec = pl.BlockSpec((1, H + ph, W + pw, C),
-                              lambda i: (i, 0, 0, 0),
+                              lambda i, j: (i, 0, 0, 0),
                               memory_space=pltpu.VMEM)
     elif stride == 2:
         # Polyphase deinterleave in XLA (Mosaic can't strided-slice inside
@@ -131,27 +134,28 @@ def _dw_conv_stats_impl(x, w, stride, interpret):
                           (0, 2 * Ws - xp.shape[2]), (0, 0)))
         x_in = xp.reshape(N, Hs, 2, Ws, 2, C).transpose(0, 2, 4, 1, 3, 5)
         x_spec = pl.BlockSpec((1, 2, 2, Hs, Ws, C),
-                              lambda i: (i, 0, 0, 0, 0, 0),
+                              lambda i, j: (i, 0, 0, 0, 0, 0),
                               memory_space=pltpu.VMEM)
     else:
         raise NotImplementedError(f"stride {stride}")
 
+    TH = _row_chunk(Ho, Wo, C, k)
     kern = functools.partial(_dw_stats_kernel, kernel=k, stride=stride,
-                             Ho=Ho, Wo=Wo, C=C)
+                             TH=TH, Wo=Wo, C=C)
     y, s, ss = pl.pallas_call(
         kern,
-        grid=(N,),
+        grid=(N, Ho // TH),
         in_specs=[
             x_spec,
-            pl.BlockSpec((k * k, 1, C), lambda i: (0, 0, 0),
+            pl.BlockSpec((k * k, 1, C), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, Ho, Wo, C), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, TH, Wo, C), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda i: (0, 0),
+            pl.BlockSpec((1, C), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda i: (0, 0),
+            pl.BlockSpec((1, C), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -159,6 +163,7 @@ def _dw_conv_stats_impl(x, w, stride, interpret):
             jax.ShapeDtypeStruct((1, C), jnp.float32),
             jax.ShapeDtypeStruct((1, C), jnp.float32),
         ),
+        scratch_shapes=[pltpu.VMEM((TH, Wo, C), jnp.float32)],
         interpret=interpret,
     )(x_in, w.reshape(k * k, 1, C))
     return y, s[0], ss[0]

@@ -354,9 +354,9 @@ def train(
                   f">10% of the planned {planned} updates — the average "
                   "will lag a still-moving model (BN variances drift ~10x "
                   "over a run; a stale-horizon EMA can collapse val IoU, "
-                  "see docs/ACCURACY.md round-3 ablations). Use a decay "
-                  f"with 1/(1-decay) well under {planned // 10} for this "
-                  "run length.")
+                  "see docs/ACCURACY.md ablations). Use a decay "
+                  f"with 1/(1-decay) well under {max(planned // 10, 1)} "
+                  "for this run length.")
     state = create_train_state(model, init_rng, sample_args, lr=lr,
                                weight_decay=weight_decay,
                                max_grad_norm=max_grad_norm,

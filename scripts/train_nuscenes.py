@@ -43,6 +43,9 @@ def main():
     p.add_argument("--watchdog_secs", type=int, default=0,
                    help="stall detector (tunnel hangs): stack dump at N s "
                         "of no step progress, hard-exit 42 at 2N")
+    p.add_argument("--resume", default=None,
+                   help="checkpoint dir to resume from (the supervisor "
+                        "restart contract after a watchdog exit 42)")
     args = p.parse_args()
 
     train(
@@ -67,6 +70,7 @@ def main():
         nuscenes_version=args.version,
         device_normalize=not args.host_normalize,
         watchdog_secs=args.watchdog_secs,
+        resume=args.resume,
     )
 
 
