@@ -138,12 +138,16 @@ def bench_infer(bsz, iters, dtype, quantize=False, quant_min_channels=64,
 
 
 def bench_step(bsz, iters, splat_method, dtype, remat=False, variant="b0",
-               warmup=1, accum=1, fused_dw=False):
+               warmup=1, accum=1, fused_dw=False, compiler_options=None):
     """Chained-in-jit train-step timing; prints its JSON line.
 
     ``accum > 1``: gradient accumulation — the step scans ``accum`` stacked
     microbatches of ``bsz`` per optimizer update (effective batch
-    bsz*accum); the reported ms is per OPTIMIZER step."""
+    bsz*accum); the reported ms is per OPTIMIZER step.
+    ``compiler_options``: dict of XLA options attached to the jit compile
+    request — the only way to reach TPU-backend flags over a remote
+    transport whose client-side XLA_FLAGS parser doesn't know them
+    (scripts/xla_flag_sweep.py)."""
     import jax
     import jax.numpy as jnp
     from lss_carla_tpu.training.step import make_train_step
@@ -163,7 +167,8 @@ def bench_step(bsz, iters, splat_method, dtype, remat=False, variant="b0",
 
     chained = jax.jit(
         lambda st: jax.lax.fori_loop(0, iters, one, st),
-        donate_argnums=(0,))
+        donate_argnums=(0,),
+        compiler_options=compiler_options or None)
 
     for _ in range(max(1, warmup)):   # compile + warmup chained calls
         state = chained(state)
@@ -183,6 +188,10 @@ def bench_step(bsz, iters, splat_method, dtype, remat=False, variant="b0",
         suffix += f"_accum{accum}"
     if fused_dw:
         suffix += "_fused_dw"
+    if compiler_options:
+        suffix += "_xla" + "".join(
+            f"_{k.rsplit('_', 1)[-1]}{v}" for k, v in
+            sorted(compiler_options.items()))
     # vs_baseline scales the 800 ms bsz-8 floor by the effective batch
     print(json.dumps({
         "metric": f"train_step_ms_bsz{bsz}{suffix}",
@@ -231,6 +240,13 @@ def main():
     p.add_argument("--fused_dw", action="store_true",
                    help="Pallas fused dwconv+BN-stats in the EffNet train "
                         "path; --mode step only (ops/mbconv_pallas.py)")
+    p.add_argument("--compiler_option", action="append", default=[],
+                   metavar="KEY=VALUE",
+                   help="XLA compiler option for the jitted step, e.g. "
+                        "xla_tpu_scoped_vmem_limit_kib=65536 (repeatable; "
+                        "--mode step only). Rides the compile request, so "
+                        "it reaches the TPU backend even where client-side "
+                        "XLA_FLAGS can't")
     args = p.parse_args()
 
     if args.mode == "all" and args.dtype is not None:
@@ -247,6 +263,14 @@ def main():
     if args.fused_dw and args.mode != "step":
         p.error("--fused_dw only applies to --mode step (the fusion is a "
                 "train-path rewrite; eval/infer use the standard convs)")
+    if args.compiler_option and args.mode != "step":
+        p.error("--compiler_option only applies to --mode step")
+    compiler_options = {}
+    for kv in args.compiler_option:
+        if "=" not in kv:
+            p.error(f"--compiler_option needs KEY=VALUE, got {kv!r}")
+        k, v = kv.split("=", 1)
+        compiler_options[k] = v
     dtype = args.dtype or "bfloat16"
 
     if args.mode != "input":
@@ -260,7 +284,7 @@ def main():
     elif args.mode == "step":
         bench_step(args.bsz, args.iters, args.splat_method, dtype,
                    args.remat, args.variant, args.warmup, args.accum,
-                   args.fused_dw)
+                   args.fused_dw, compiler_options)
     else:  # all: f32 step (reference-parity dtype), inference, and the
         # headline bf16 step LAST so single-line consumers see the headline
         bench_step(args.bsz, args.iters, args.splat_method, "float32",

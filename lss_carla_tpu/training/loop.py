@@ -107,6 +107,14 @@ def train(
                                        # tracking and the val figure then use
                                        # the smoothed model (checkpoints
                                        # carry both raw and EMA params)
+    ema_bn_recal: int = 16,            # batches of SWA-style BN-stat
+                                       # recalibration at each EMA validation
+                                       # (training/bn_recal.py). Measured
+                                       # load-bearing: both non-recalibrated
+                                       # stat pairings scored val IoU 0.000-
+                                       # 0.39 where raw hits 0.70
+                                       # (docs/ACCURACY.md ablations).
+                                       # 0 = off (use the EMA'd stats)
     accum_steps: int = 1,              # >1: gradient accumulation — each
                                        # optimizer step scans accum_steps
                                        # loader batches (effective batch
@@ -348,13 +356,15 @@ def train(
                    else nepochs * (len(trainloader) // accum_steps))
         print(f"  EMA tracking on (decay {ema_decay}, warmup-ramped, "
               f"~{horizon:.0f}-step horizon): validation and best-IoU use "
-              "the averaged params + batch stats")
+              "the averaged params"
+              + (f" + BN stats recalibrated over {ema_bn_recal} recent "
+                 "batches" if ema_bn_recal > 0 else
+                 " + EMA'd batch stats (recal OFF — measured val IoU "
+                 "0.000 with this pairing, docs/ACCURACY.md)"))
         if planned and horizon > 0.1 * planned:
             print(f"  WARNING: EMA horizon ~{horizon:.0f} steps is "
                   f">10% of the planned {planned} updates — the average "
-                  "will lag a still-moving model (BN variances drift ~10x "
-                  "over a run; a stale-horizon EMA can collapse val IoU, "
-                  "see docs/ACCURACY.md ablations). Use a decay "
+                  "will lag a still-moving model. Use a decay "
                   f"with 1/(1-decay) well under {max(planned // 10, 1)} "
                   "for this run length.")
     state = create_train_state(model, init_rng, sample_args, lr=lr,
@@ -499,16 +509,48 @@ def train(
     def eval_state_of(s):
         """State whose params validation/val-viz should read: the EMA
         average when tracked (the model that would be served), else the
-        raw training params. The EMA params come with the EMA batch_stats
-        — a weight/BN-stat pair that lags by the same horizon (mixing EMA
-        params with current stats measured val IoU 0.000 where the raw
-        model scores 0.65; see TrainState.ema_batch_stats)."""
+        raw training params. The EMA params come with ``ema_batch_stats``
+        — which ``recal_ema_stats`` below refreshes to the averaged
+        weights' OWN batch moments at each validation (both lagged-stat
+        pairings measured val IoU 0.000-0.39 where raw params + their own
+        stats score 0.70; docs/ACCURACY.md ablations)."""
         if not ema_decay:
             return s
         return s.replace(params=s.ema_params,
                          batch_stats=(s.ema_batch_stats
                                       if s.ema_batch_stats is not None
                                       else s.batch_stats))
+
+    # SWA-style BN recalibration (training/bn_recal.py): a rolling window
+    # of the last K training batches feeds train-mode forwards at the EMA
+    # params right before each validation; the checkpointed
+    # ema_batch_stats then always describe the averaged weights'
+    # activations (best/periodic saves happen after validation, so
+    # explore/serving --ema read the recalibrated pair).
+    import collections
+    recal_window = collections.deque(
+        maxlen=max(int(ema_bn_recal), 0) or None) \
+        if ema_decay and ema_bn_recal > 0 else None
+    recalibrator = None
+
+    def recal_ema_stats(s):
+        """Refresh s.ema_batch_stats from the recal window (no-op when
+        recalibration is off or no batches have been seen yet)."""
+        nonlocal recalibrator
+        if recal_window is None or not recal_window:
+            return s
+        if recalibrator is None:
+            from lss_carla_tpu.training.bn_recal import BNRecalibrator
+            recalibrator = BNRecalibrator(model, s.batch_stats)
+        inputs = [tuple(x[0] for x in b) if accum_steps > 1 else b
+                  for b in recal_window]
+        try:
+            stats = recalibrator.recalibrate(s.ema_params, inputs)
+        except Exception as e:  # recal must never kill training
+            print(f"  EMA BN recalibration failed ({e}); "
+                  "falling back to the EMA'd stats")
+            return s
+        return s.replace(ema_batch_stats=stats)
 
     predict_fn = None
     viz_val_batch = None  # fetched once, mesh-placed once, reused forever
@@ -630,6 +672,8 @@ def train(
                 state, metrics = train_fn(state, batch, step_rng)
                 counter += 1
                 t1 = time.time()
+                if recal_window is not None:
+                    recal_window.append(batch[:6])
 
                 if watchdog is not None and counter == 1:
                     # arm after the first step (incl. its compile) completes
@@ -687,17 +731,30 @@ def train(
                         print(f"  train viz failed: {e}")
 
                 if val_step and counter % val_step == 0:
+                    state = recal_ema_stats(state)
                     val_info = get_val_info(
                         eval_fn, eval_state_of(state), valloader,
                         device_put=device_put,
                         heartbeat=watchdog.beat if watchdog else None)
                     val_scalars = {"val/loss": val_info["loss"],
                                    "val/iou": val_info["iou"]}
+                    if ema_decay:
+                        # raw-params val alongside the EMA val: an
+                        # EMA-vs-raw gap must be visible live, not
+                        # discovered after a soak (round-3 postmortem)
+                        raw_info = get_val_info(
+                            eval_fn, state, valloader,
+                            device_put=device_put,
+                            heartbeat=watchdog.beat if watchdog else None)
+                        val_scalars["val/loss_raw"] = raw_info["loss"]
+                        val_scalars["val/iou_raw"] = raw_info["iou"]
                     for ci, v in enumerate(val_info.get("iou_per_class", [])):
                         val_scalars[f"val/iou_c{ci}"] = v
                     logger.scalars(counter, **val_scalars)
                     print(f"  validation: loss={val_info['loss']:.4f} "
                           f"iou={val_info['iou']:.4f}"
+                          + (f" raw_iou={val_scalars['val/iou_raw']:.4f}"
+                             if ema_decay else "")
                           + ("".join(f" c{ci}={v:.3f}" for ci, v in
                              enumerate(val_info.get("iou_per_class", [])))))
                     if watchdog is not None:

@@ -29,14 +29,15 @@ class TrainState(flax_train_state.TrainState):
     # None is an empty pytree subtree, so checkpoints written without EMA
     # keep their exact saved structure.
     ema_params: Any = None
-    # EMA of ``batch_stats``, maintained alongside ``ema_params``: the
-    # averaged params must be evaluated with BN running stats that lag by
-    # the SAME horizon, or the intermediate activation distributions the
-    # stats describe don't match the weights producing them. (Measured:
-    # EMA params + *current* stats held val IoU at 0.000 for 3.5k steps on
-    # the recipe where the raw model reaches 0.65 — docs/ACCURACY.md
-    # round-3 ablations. torch's ModelEmaV2 averages BN buffers for the
-    # same reason.)
+    # BN stats to pair with ``ema_params``. Between validations the train
+    # steps nudge this as an EMA of ``batch_stats`` (checkpoint-format
+    # continuity with round 3); at each validation the trainer OVERWRITES
+    # it with SWA-style recalibrated moments (``training/bn_recal.py``) —
+    # the averaged weights' own activation statistics. Measured on one
+    # checkpoint (docs/ACCURACY.md four-way table): EMA params + EMA'd
+    # stats val IoU 0.000, + current stats 0.392, + recalibrated 0.707
+    # (raw model: 0.699). Neither lagged pairing works; recalibration is
+    # the fix.
     ema_batch_stats: Any = None
 
 
@@ -51,14 +52,13 @@ def ema_update(state: TrainState, decay: float,
     state.step`` (timm ModelEmaV3's rule): early in training the EMA then
     approximates the cumulative mean instead of clinging to near-initial
     weights, and the averaging horizon grows with run length instead of
-    jumping straight to the full ``1 / (1 - decay)`` lag. This matters
-    doubly for ``ema_batch_stats``: BN variances can shrink by ~10x as
-    training progresses (measured, docs/ACCURACY.md round-3 ablations), so
-    a horizon much longer than the stats' drift timescale produces variance
-    estimates that no longer describe the averaged weights' activations —
-    pick ``decay`` so ``1/(1-decay)`` is well under ~10% of the run length.
-    Pure elementwise math on replicated values — safe inside ``shard_map``
-    without any reduction.
+    jumping straight to the full ``1 / (1 - decay)`` lag. Note the
+    per-step ``ema_batch_stats`` average this maintains is NOT what EMA
+    validation evaluates with — lagged stats score val IoU 0.000-0.39
+    where the raw model hits 0.70 (docs/ACCURACY.md four-way table); the
+    trainer overwrites the subtree with SWA-style recalibrated moments at
+    each validation (``training/bn_recal.py``). Pure elementwise math on
+    replicated values — safe inside ``shard_map`` without any reduction.
     """
     if warmup:
         t = jnp.asarray(state.step, jnp.float32)

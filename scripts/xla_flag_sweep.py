@@ -1,10 +1,18 @@
-"""Sweep XLA TPU compiler flags against the chained-in-jit bf16 train step.
+"""Sweep XLA TPU compiler options against the chained-in-jit bf16 step.
 
 The f32 bsz-16 step cliff was diagnosed as a compiler VMEM-tiling effect
 (scripts/memory_analysis.py; docs/ROADMAP.md item 3), and
-``--xla_tpu_scoped_vmem_limit_kib`` is the lever XLA exposes for exactly
-that tradeoff. Each config runs ``bench.py --mode step`` in a fresh
-subprocess (XLA flags are process-level and feed the compile cache key).
+``xla_tpu_scoped_vmem_limit_kib`` is the lever XLA exposes for exactly
+that tradeoff.
+
+Round-4 transport finding: TPU-backend flags CANNOT ride client-side
+``XLA_FLAGS`` over the remote (axon) transport — the client's XLA parser
+fatals with "Unknown flag" (it only knows CPU flags). They CAN ride the
+per-compile options of ``jax.jit(compiler_options=...)``, which serialize
+with the compile request; ``bench.py --compiler_option KEY=VALUE``
+exposes that. Each config still runs in a fresh subprocess so a fatal in
+one config can't take down the sweep (compiler_options feed the compile
+cache key, so repeats are cheap).
 
 Usage:  python scripts/xla_flag_sweep.py [--bsz 8] [--dtype bfloat16]
 """
@@ -18,10 +26,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CONFIGS = [
-    ("default", ""),
-    ("vmem32m", "--xla_tpu_scoped_vmem_limit_kib=32768"),
-    ("vmem64m", "--xla_tpu_scoped_vmem_limit_kib=65536"),
-    ("vmem96m", "--xla_tpu_scoped_vmem_limit_kib=98304"),
+    ("default", []),
+    ("vmem32m", ["xla_tpu_scoped_vmem_limit_kib=32768"]),
+    ("vmem64m", ["xla_tpu_scoped_vmem_limit_kib=65536"]),
+    ("vmem96m", ["xla_tpu_scoped_vmem_limit_kib=98304"]),
 ]
 
 
@@ -34,17 +42,14 @@ def main():
     args = p.parse_args()
 
     results = []
-    for name, flags in CONFIGS:
-        env = dict(os.environ)
-        if flags:
-            env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + flags).strip()
-        print(f"=== {name}: XLA_FLAGS={env.get('XLA_FLAGS', '')!r}",
-              flush=True)
-        proc = subprocess.run(
-            [sys.executable, "bench.py", "--mode", "step",
-             "--dtype", args.dtype, "--bsz", str(args.bsz),
-             "--iters", str(args.iters)],
-            cwd=REPO, env=env, capture_output=True, text=True)
+    for name, opts in CONFIGS:
+        cmd = [sys.executable, "bench.py", "--mode", "step",
+               "--dtype", args.dtype, "--bsz", str(args.bsz),
+               "--iters", str(args.iters)]
+        for kv in opts:
+            cmd += ["--compiler_option", kv]
+        print(f"=== {name}: {opts}", flush=True)
+        proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
         line = next((ln for ln in proc.stdout.splitlines()
                      if ln.startswith("{")), None)
         if proc.returncode != 0 or line is None:
@@ -58,7 +63,13 @@ def main():
 
     print("\n=== sweep summary ===")
     for name, ms in results:
-        print(f"{name:10s} {ms if ms is not None else 'FAIL'}")
+        print(f"{name}: {ms if ms is not None else 'FAILED'}")
+    ok = [(n, m) for n, m in results if m is not None]
+    if ok:
+        best = min(ok, key=lambda t: t[1])
+        print(json.dumps({"metric": "xla_flag_sweep_best",
+                          "config": best[0], "value": best[1],
+                          "unit": "ms"}))
 
 
 if __name__ == "__main__":

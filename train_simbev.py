@@ -96,6 +96,10 @@ def main():
                         help='>0 (e.g. 0.999): keep an exponential moving '
                              'average of the params; validation/best-IoU '
                              'use the averaged model')
+    parser.add_argument('--ema_bn_recal', type=int, default=16,
+                        help='batches of SWA-style BN-stat recalibration '
+                             'before each EMA validation (0 = off; '
+                             'measured load-bearing, docs/ACCURACY.md)')
     parser.add_argument('--cam_devices', type=int, default=1,
                         help='camera-axis model-parallel shards: splits the '
                              'cameras over a 2-D (data, cam) mesh; '
@@ -133,7 +137,11 @@ def main():
                              'or the MXU-friendly resnet alternative')
     parser.add_argument('--fused_dw', action='store_true',
                         help='Pallas fused depthwise-conv+BN-stats in the '
-                             'EffNet train path (ops/mbconv_pallas.py)')
+                             'EffNet train path (ops/mbconv_pallas.py). '
+                             'Measured SLOWER than XLA on v5e (54.7 vs '
+                             '38.3 ms bf16 step — docs/ROADMAP.md 2b kill-'
+                             'memo); kept as a working Mosaic conv-kernel '
+                             'example. DP meshes only.')
     parser.add_argument('--max_steps', type=int, default=None)
     parser.add_argument('--watchdog_secs', type=int, default=0,
                         help='stall detector: dump stacks after N s of no '
@@ -184,6 +192,7 @@ def main():
         warmup_steps=args.warmup_steps,
         decay_steps=args.decay_steps,
         ema_decay=args.ema_decay,
+        ema_bn_recal=args.ema_bn_recal,
         accum_steps=args.accum_steps,
         splat_method=args.splat_method,
         compute_dtype=args.compute_dtype,
