@@ -46,7 +46,15 @@ def main():
     p.add_argument("--resume", default=None,
                    help="checkpoint dir to resume from (the supervisor "
                         "restart contract after a watchdog exit 42)")
+    p.add_argument("--supervise", type=int, default=0,
+                   help="restart up to N times on watchdog exit 42, "
+                        "resuming from <logdir>/ckpts (pair with "
+                        "--watchdog_secs)")
     args = p.parse_args()
+    if args.supervise > 0:
+        import sys
+        from lss_carla_tpu.utils.supervise import run_supervised
+        sys.exit(run_supervised(args.supervise, args.logdir))
 
     train(
         dataroot=args.dataroot,

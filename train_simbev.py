@@ -153,8 +153,19 @@ def main():
                              'final/preemption saves stay durable')
     parser.add_argument('--profile_dir', type=str, default=None)
     parser.add_argument('--seed', type=int, default=42)
+    parser.add_argument('--supervise', type=int, default=0,
+                        help='restart the run up to N times on a watchdog '
+                             'hard-exit (code 42), resuming from '
+                             '<logdir>/ckpts once a checkpoint exists — '
+                             'the in-CLI version of the bash retry loop '
+                             'for hung remote transports (pair with '
+                             '--watchdog_secs)')
 
     args = parser.parse_args()
+    if args.supervise > 0:
+        import sys
+        from lss_carla_tpu.utils.supervise import run_supervised
+        sys.exit(run_supervised(args.supervise, args.logdir))
     train(
         dataroot=args.dataroot,
         nepochs=args.nepochs,
