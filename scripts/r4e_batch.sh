@@ -1,0 +1,38 @@
+#!/bin/bash
+# Round-4e TPU queue — replaces r4c/r4d ordering after the nuScenes soak's
+# validation-dominated wall ate the budget. Runs after r4b stage E:
+#   J. stretch accuracy soak (400x400 multiclass B4 bf16, cosine 4k) —
+#      first accuracy curve for the scale-up target
+#   G. EMA + cosine combined 4k (candidate best fixed-length recipe)
+# The H (cliff scoped-VMEM probe) and I (resnet18+cosine) bonus stages
+# from r4c are dropped for time; neither closes an open VERDICT item.
+set -u
+cd /root/repo
+RUNS=/root/runs/r4b
+STATUS=$RUNS/status.log
+log() { echo "$(date +%F' '%H:%M:%S) $*" >> "$STATUS"; }
+
+log "r4e: waiting for r4b stage E"
+while ! grep -q "E rc=" "$STATUS" 2>/dev/null; do sleep 30; done
+
+log "J: stretch accuracy soak (400x400 multiclass B4 bf16, cosine 4k)"
+timeout 10800 python train_simbev.py --dataroot /tmp/fix_stretch --bsz 4 \
+    --nworkers 3 --val_step 500 --viz_step 0 --resize_lim 0.70 0.85 \
+    --xbound -50.0 50.0 0.25 --ybound -50.0 50.0 0.25 \
+    --label_mode multiclass --variant b4 \
+    --compute_dtype bfloat16 --watchdog_secs 600 --supervise 3 \
+    --logdir "$RUNS/abl_stretch4k" --max_steps 4000 \
+    --lr_schedule cosine --warmup_steps 500 --decay_steps 4000 \
+    > "$RUNS/abl_stretch4k.out" 2>&1
+log "J rc=$?"
+
+log "G: EMA + cosine combined 4k"
+timeout 10800 python train_simbev.py --dataroot /tmp/fix48 --bsz 8 \
+    --nworkers 3 --val_step 500 --viz_step 0 --resize_lim 0.70 0.85 \
+    --compute_dtype bfloat16 --watchdog_secs 300 --supervise 3 \
+    --logdir "$RUNS/abl_emacos4k" --max_steps 4000 \
+    --lr_schedule cosine --warmup_steps 500 --decay_steps 4000 \
+    --ema_decay 0.999 \
+    > "$RUNS/abl_emacos4k.out" 2>&1
+log "G rc=$?"
+log "r4e ALL DONE"
