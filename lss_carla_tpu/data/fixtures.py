@@ -112,6 +112,13 @@ def _emit_orientation(root, scene, orientation, yaw_offset, layouts, intrin,
         # stored[r, c] = presence at x = (grid-1-r)*cell - 50.
         bev = np.zeros((8, grid, grid), dtype=np.uint8)
         cell = 100.0 / grid
+        # channel 0 (drivable area, SimBEV class order): a straight road
+        # band |ego y| <= 10 m spanning all x — fixed in the ego frame so a
+        # multiclass head can learn it, and non-empty so the stretch
+        # config's 4-class metrics aren't dominated by a degenerate channel
+        c_lo = int((-10.0 + 50.0) / cell)
+        c_hi = int((10.0 + 50.0) / cell)
+        bev[0, :, c_lo:c_hi] = 1
         for (vx, vy), cls in zip(veh, veh_cls):
             r = grid - 1 - int((vx + 50.0) / cell)
             c = int((vy + 50.0) / cell)

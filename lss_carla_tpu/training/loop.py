@@ -170,6 +170,12 @@ def train(
     profile_dir: Optional[str] = None,  # jax.profiler trace output
     watchdog_secs: int = 0,            # stall detector (0 = off); dumps
                                        # stacks at N s, hard-exits at 2N
+    debug_stall_at: int = 0,           # TESTING ONLY: freeze the step loop
+                                       # at this step to fire the watchdog →
+                                       # supervisor chain on purpose (the
+                                       # tunnel-hang drill). Skipped on
+                                       # --resume so the restarted attempt
+                                       # trains through
     async_save: bool = False,          # periodic checkpoints persist in a
                                        # background thread (host IO only);
                                        # best/final/preemption saves stay
@@ -679,6 +685,16 @@ def train(
                     # arm after the first step (incl. its compile) completes
                     float(metrics["loss"])
                     watchdog.beat()
+                if debug_stall_at and counter == debug_stall_at \
+                        and resume is None:
+                    # deliberate hang (mimics the observed tunnel wedge):
+                    # the watchdog must dump stacks at N s and hard-exit 42
+                    # at 2N, and --supervise must restart with --resume
+                    # (which skips this branch)
+                    print(f"[debug] injected stall at step {counter} — "
+                          f"sleeping forever", flush=True)
+                    while True:
+                        time.sleep(60)
                 if counter % 10 == 0:
                     logger.scalars(counter, **{
                         "train/loss": float(metrics["loss"])})

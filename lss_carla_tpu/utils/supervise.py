@@ -14,11 +14,19 @@ Only exit code 42 triggers a restart: a crash (traceback), SIGTERM
 preemption (graceful checkpoint-and-exit), or clean completion must NOT
 loop. No reference equivalent (the reference has no failure handling,
 SURVEY §5.3).
+
+SIGTERM/SIGINT sent to the *supervisor* (e.g. by ``timeout``, slurm, or
+k8s) are forwarded to the training child so it performs its graceful
+checkpoint-and-exit, and the supervisor then stops retrying — without
+this, ``timeout N python train.py --supervise R`` killed only the
+supervisor and orphaned a child that kept holding the TPU chip (round-4
+advisor finding).
 """
 
 from __future__ import annotations
 
 import os
+import signal
 import subprocess
 import sys
 
@@ -65,15 +73,50 @@ def run_supervised(retries: int, logdir: str, argv=None,
     argv = sys.argv[1:] if argv is None else argv
     script = os.path.abspath(sys.argv[0]) if script is None else script
     ckpt_dir = os.path.join(logdir, "ckpts")
+
+    # Forward termination signals to the live child (it owns the graceful
+    # SIGTERM checkpoint-and-exit) and stop retrying once one arrived —
+    # even if the child's exit races the signal and still reads 42.
+    child = None
+    terminated = False
+
+    def _forward(signum, _frame):
+        nonlocal terminated
+        terminated = True
+        if child is not None and child.poll() is None:
+            print(f"[supervise] forwarding signal {signum} to child "
+                  f"pid {child.pid}", flush=True)
+            try:
+                child.send_signal(signum)
+            except OSError:
+                pass
+
+    prev = {}
+    try:
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            prev[sig] = signal.signal(sig, _forward)
+    except ValueError:
+        prev = {}  # not in the main thread (test runners)
+
     rc = WATCHDOG_EXIT
-    for attempt in range(retries + 1):
-        cmd = [sys.executable, script] + child_argv(argv, attempt, ckpt_dir)
-        print(f"[supervise] attempt {attempt + 1}/{retries + 1}: "
-              + " ".join(cmd), flush=True)
-        rc = subprocess.call(cmd)
-        print(f"[supervise] child exited rc={rc}", flush=True)
-        if rc != WATCHDOG_EXIT:
-            return rc
-    print(f"[supervise] giving up after {retries + 1} watchdog exits",
-          flush=True)
-    return rc
+    try:
+        for attempt in range(retries + 1):
+            cmd = [sys.executable, script] + child_argv(argv, attempt,
+                                                        ckpt_dir)
+            print(f"[supervise] attempt {attempt + 1}/{retries + 1}: "
+                  + " ".join(cmd), flush=True)
+            child = subprocess.Popen(cmd)
+            rc = child.wait()
+            print(f"[supervise] child exited rc={rc}", flush=True)
+            if terminated:
+                print("[supervise] termination signal received — "
+                      "not restarting", flush=True)
+                return rc
+            if rc != WATCHDOG_EXIT:
+                return rc
+        print(f"[supervise] giving up after {retries + 1} watchdog exits",
+              flush=True)
+        return rc
+    finally:
+        for sig, h in prev.items():
+            signal.signal(sig, h)

@@ -40,6 +40,19 @@ def main():
     p.add_argument("--host_normalize", action="store_true",
                    help="normalize images on the host (reference behavior) "
                         "instead of shipping uint8 and normalizing in-jit")
+    # training extras (same semantics as train_simbev.py — the fast recipe
+    # measured on SimBEV: bf16 + cosine + EMA with BN recalibration)
+    p.add_argument("--lr_schedule", default="constant",
+                   choices=["constant", "cosine", "linear"])
+    p.add_argument("--warmup_steps", type=int, default=0)
+    p.add_argument("--decay_steps", type=int, default=0)
+    p.add_argument("--ema_decay", type=float, default=0.0)
+    p.add_argument("--ema_bn_recal", type=int, default=16)
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--val_step", type=int, default=500)
+    p.add_argument("--save_step", type=int, default=1000)
     p.add_argument("--watchdog_secs", type=int, default=0,
                    help="stall detector (tunnel hangs): stack dump at N s "
                         "of no step progress, hard-exit 42 at 2N")
@@ -77,6 +90,15 @@ def main():
         dataset="simbev" if args.simbev_data else "nuscenes",
         nuscenes_version=args.version,
         device_normalize=not args.host_normalize,
+        lr_schedule=args.lr_schedule,
+        warmup_steps=args.warmup_steps,
+        decay_steps=args.decay_steps,
+        ema_decay=args.ema_decay,
+        ema_bn_recal=args.ema_bn_recal,
+        compute_dtype=args.compute_dtype,
+        seed=args.seed,
+        val_step=args.val_step,
+        save_step=args.save_step,
         watchdog_secs=args.watchdog_secs,
         resume=args.resume,
     )

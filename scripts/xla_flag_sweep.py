@@ -39,11 +39,25 @@ def main():
     p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--mode", default="step", choices=["step", "infer"],
+                   help="which bench metric to sweep (infer: the bf16 "
+                        "bsz-32 inference cliff, ROADMAP item 3)")
+    p.add_argument("--vmem_kib", type=int, nargs="*", default=None,
+                   help="override the scoped-VMEM ladder, KiB (e.g. "
+                        "16384 32768 for the cliff-shape probe); "
+                        "'default' is always included")
     args = p.parse_args()
 
+    configs = CONFIGS
+    if args.vmem_kib is not None:
+        configs = [("default", [])] + [
+            (f"vmem{kib // 1024}m",
+             [f"xla_tpu_scoped_vmem_limit_kib={kib}"])
+            for kib in args.vmem_kib]
+
     results = []
-    for name, opts in CONFIGS:
-        cmd = [sys.executable, "bench.py", "--mode", "step",
+    for name, opts in configs:
+        cmd = [sys.executable, "bench.py", "--mode", args.mode,
                "--dtype", args.dtype, "--bsz", str(args.bsz),
                "--iters", str(args.iters)]
         for kv in opts:

@@ -85,3 +85,63 @@ def test_run_supervised_gives_up(tmp_path):
     rc, lines = _run_stub(tmp_path, fail_times=99, final_rc=0, retries=2)
     assert rc == WATCHDOG_EXIT
     assert len(lines) == 3  # 1 first run + 2 retries
+
+
+SUPERVISE_PATH = os.path.join(os.path.dirname(__file__), os.pardir,
+                              "lss_carla_tpu", "utils", "supervise.py")
+
+TERM_CHILD = textwrap.dedent("""\
+    import signal, sys, time
+    marker = sys.argv[sys.argv.index("--marker") + 1]
+    def on_term(s, f):
+        with open(marker, "a") as fh:
+            fh.write("child-sigterm\\n")
+        sys.exit(42)  # even a 42 must not restart after a forwarded signal
+    signal.signal(signal.SIGTERM, on_term)
+    with open(marker, "a") as fh:
+        fh.write("child-started\\n")
+    time.sleep(120)
+""")
+
+TERM_RUNNER = textwrap.dedent("""\
+    import importlib.util, sys
+    spec = importlib.util.spec_from_file_location("sup", sys.argv[1])
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    sys.exit(m.run_supervised(3, sys.argv[2],
+                              argv=["--marker", sys.argv[3]],
+                              script=sys.argv[4]))
+""")
+
+
+def test_sigterm_forwards_to_child_and_stops_retrying(tmp_path):
+    """timeout/slurm SIGTERM the *supervisor*: the child must receive it
+    (graceful checkpoint-and-exit) and no restart may follow — without
+    forwarding, the child was orphaned holding the TPU chip (round-4
+    advisor finding)."""
+    import signal as _signal
+    import time
+    runner = tmp_path / "runner.py"
+    runner.write_text(TERM_RUNNER)
+    child = tmp_path / "child.py"
+    child.write_text(TERM_CHILD)
+    marker = tmp_path / "marker.txt"
+    logdir = tmp_path / "log"
+    (logdir / "ckpts" / "best").mkdir(parents=True)
+    proc = subprocess.Popen(
+        [sys.executable, str(runner), os.path.abspath(SUPERVISE_PATH),
+         str(logdir), str(marker), str(child)])
+    deadline = time.monotonic() + 30
+    while time.monotonic() < deadline:
+        if marker.exists() and "child-started" in marker.read_text():
+            break
+        time.sleep(0.1)
+    else:
+        proc.kill()
+        raise AssertionError("child never started")
+    proc.send_signal(_signal.SIGTERM)
+    rc = proc.wait(timeout=30)
+    lines = marker.read_text().splitlines()
+    assert "child-sigterm" in lines           # signal was forwarded
+    assert lines.count("child-started") == 1  # and nothing restarted
+    assert rc == 42                           # child's own exit code

@@ -143,6 +143,11 @@ def main():
                              'memo); kept as a working Mosaic conv-kernel '
                              'example. DP meshes only.')
     parser.add_argument('--max_steps', type=int, default=None)
+    parser.add_argument('--debug_stall_at', type=int, default=0,
+                        help='TESTING ONLY: freeze the step loop at this '
+                             'step to drill the watchdog/supervisor chain '
+                             'on hardware (pick a step after the first '
+                             '--save_step so the restart can --resume)')
     parser.add_argument('--watchdog_secs', type=int, default=0,
                         help='stall detector: dump stacks after N s of no '
                              'step progress, hard-exit (code 42) at 2N for '
@@ -216,6 +221,7 @@ def main():
         fused_dw=args.fused_dw,
         max_steps=args.max_steps,
         profile_dir=args.profile_dir,
+        debug_stall_at=args.debug_stall_at,
         watchdog_secs=args.watchdog_secs,
         async_save=args.async_save,
         seed=args.seed,
