@@ -40,7 +40,8 @@ def _build(dataroot, bsz=4, nworkers=4, H=None, W=None,
            final_dim=(128, 352), ncams=6, checkpoint: Optional[str] = None,
            best: bool = False, grid_conf: Optional[GridConf] = None,
            dataset: str = "simbev", version: str = "v1.0-mini",
-           use_ema: bool = False, **model_kw):
+           use_ema: bool = False, label_mode: str = "vehicle_binary",
+           label_classes=(0, 1, 2, 3), **model_kw):
     # source dims default per dataset: real nuScenes images are 900x1600 —
     # building the homography against the SimBEV 224x480 dims would scale
     # camera geometry wrong by ~3x (override with H/W for fixtures)
@@ -55,10 +56,15 @@ def _build(dataroot, bsz=4, nworkers=4, H=None, W=None,
             version, dataroot, aug_conf, grid_conf, bsz=bsz,
             nworkers=nworkers)
     else:
+        ds_kw = None
+        if label_mode != "vehicle_binary":
+            ds_kw = {"label_mode": label_mode,
+                     "label_classes": tuple(label_classes)}
         trainloader, valloader = compile_data(
             "unused", dataroot, aug_conf, grid_conf, bsz=bsz,
-            nworkers=nworkers)
-    model = compile_model(grid_conf, aug_conf, outC=1, **model_kw)
+            nworkers=nworkers, dataset_kwargs=ds_kw)
+    outC = len(label_classes) if label_mode == "multiclass" else 1
+    model = compile_model(grid_conf, aug_conf, outC=outC, **model_kw)
     fH, fW = aug_conf.final_dim
     sample = (
         jnp.zeros((1, ncams, 3, fH, fW)),
@@ -406,6 +412,16 @@ if __name__ == "__main__":
         if name == "eval_model_iou":
             sp.add_argument("--quantize", action="store_true",
                             help="run the forward with int8 PTQ convs")
+        if name in ("eval_model_iou", "viz_model_preds"):
+            # stretch-config checkpoints (400x400 grid, multiclass head)
+            sp.add_argument("--xbound", type=float, nargs=3, default=None,
+                            help="BEV grid x bounds/step the checkpoint "
+                                 "was trained with (default -50 50 0.5)")
+            sp.add_argument("--ybound", type=float, nargs=3, default=None)
+            sp.add_argument("--label_mode", default="vehicle_binary",
+                            choices=("vehicle_binary", "multiclass"))
+            sp.add_argument("--label_classes", type=int, nargs="+",
+                            default=[0, 1, 2, 3])
         if name == "viz_model_preds":
             sp.add_argument("--map_folder", default=None,
                             help="nuScenes map-expansion folder for the "
@@ -431,6 +447,14 @@ if __name__ == "__main__":
     elif a.cmd == "eval_model_iou":
         kwargs.update(dataset=a.dataset, version=a.version,
                       quantize=a.quantize)
+    if a.cmd in ("eval_model_iou", "viz_model_preds"):
+        if a.xbound is not None:
+            kwargs["grid_conf"] = GridConf(
+                xbound=tuple(a.xbound),
+                ybound=tuple(a.ybound if a.ybound is not None else a.xbound))
+        if a.label_mode != "vehicle_binary":
+            kwargs.update(label_mode=a.label_mode,
+                          label_classes=tuple(a.label_classes))
     if a.cmd in ("splat_check", "lidar_check"):
         kwargs.pop("best", None)
         kwargs.pop("use_ema", None)

@@ -299,6 +299,13 @@ def train(
 
     if label_mode == "multiclass":
         outC = len(label_classes)
+    if not isinstance(pos_weight, (int, float)):
+        pos_weight = tuple(float(w) for w in pos_weight)
+        if len(pos_weight) == 1:
+            pos_weight = pos_weight[0]
+        elif len(pos_weight) != outC:
+            raise ValueError(f"--pos_weight takes 1 value or one per class "
+                             f"(outC={outC}); got {len(pos_weight)}")
     if dataset == "nuscenes":
         # the nuScenes loader emits binary vehicle masks only; silently
         # accepting these would broadcast-shape through the loss

@@ -12,19 +12,28 @@ import jax.numpy as jnp
 
 
 def _bce_elementwise(logits: jnp.ndarray, targets: jnp.ndarray,
-                     pos_weight: float) -> jnp.ndarray:
+                     pos_weight) -> jnp.ndarray:
     """Weighted BCE per element, f32 (torch BCEWithLogitsLoss semantics).
+
+    ``pos_weight`` is a scalar (reference behavior, tools.py:222-229) or a
+    per-class vector of length C broadcast over the channel axis of
+    (B, C, ...) inputs — torch's ``pos_weight=torch.tensor([...])``
+    semantics, used by the multiclass stretch config where sparse vehicle
+    classes would otherwise be drowned by the dense drivable-area class.
 
     The single source of the elementwise formula — both the train loss and
     the masked validation metrics call this, so they can't desynchronize."""
     logits = logits.astype(jnp.float32)
     targets = targets.astype(jnp.float32)
-    return (pos_weight * targets * jax.nn.softplus(-logits)
+    w = jnp.asarray(pos_weight, dtype=jnp.float32)
+    if w.ndim == 1:
+        w = w.reshape((1, -1) + (1,) * (logits.ndim - 2))
+    return (w * targets * jax.nn.softplus(-logits)
             + (1.0 - targets) * jax.nn.softplus(logits))
 
 
 def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray,
-                    pos_weight: float = 1.0) -> jnp.ndarray:
+                    pos_weight=1.0) -> jnp.ndarray:
     """Elementwise-mean weighted binary cross entropy on raw logits."""
     return jnp.mean(_bce_elementwise(logits, targets, pos_weight))
 
@@ -32,8 +41,9 @@ def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray,
 class SimpleLoss:
     """Callable mirroring reference SimpleLoss (tools.py:222-229)."""
 
-    def __init__(self, pos_weight: float):
-        self.pos_weight = float(pos_weight)
+    def __init__(self, pos_weight):
+        self.pos_weight = (float(pos_weight) if jnp.ndim(pos_weight) == 0
+                           else tuple(float(w) for w in pos_weight))
 
     def __call__(self, ypred, ytgt):
         return bce_with_logits(ypred, ytgt, self.pos_weight)

@@ -24,6 +24,26 @@ def test_bce_matches_torch():
     np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
 
 
+def test_bce_per_class_pos_weight_matches_torch():
+    # torch pos_weight-tensor semantics: one weight per channel, broadcast
+    # over (B, C, H, W) — the multiclass stretch config's class balancing
+    import torch
+    rng = np.random.default_rng(2)
+    logits = rng.normal(size=(2, 4, 8, 8)).astype(np.float32)
+    targets = (rng.uniform(size=(2, 4, 8, 8)) < 0.3).astype(np.float32)
+    w = [2.13, 25.0, 25.0, 25.0]
+    want = torch.nn.BCEWithLogitsLoss(
+        pos_weight=torch.tensor(w).reshape(1, 4, 1, 1))(
+            torch.from_numpy(logits), torch.from_numpy(targets))
+    got = bce_with_logits(jnp.asarray(logits), jnp.asarray(targets), tuple(w))
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+    # scalar path unchanged by the generalization
+    got1 = bce_with_logits(jnp.asarray(logits), jnp.asarray(targets), 2.13)
+    got2 = bce_with_logits(jnp.asarray(logits), jnp.asarray(targets),
+                           (2.13, 2.13, 2.13, 2.13))
+    np.testing.assert_allclose(float(got1), float(got2), rtol=1e-6)
+
+
 def test_batch_iou_reference_semantics():
     logits = jnp.array([[1.0, -1.0], [0.5, -0.5]])
     tgt = jnp.array([[1.0, 1.0], [0.0, 0.0]])

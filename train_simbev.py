@@ -119,6 +119,13 @@ def main():
                         choices=['scatter', 'sorted', 'pallas'])
     parser.add_argument('--compute_dtype', type=str, default='float32',
                         choices=['float32', 'bfloat16'])
+    parser.add_argument('--pos_weight', type=float, nargs='+',
+                        default=[2.13],
+                        help='BCE positive-class weight (reference: 2.13). '
+                             'One value, or one per class for multiclass '
+                             'heads (torch pos_weight-tensor semantics) — '
+                             'sparse classes need larger weights to not be '
+                             'drowned by dense ones')
     parser.add_argument('--label_mode', type=str, default='vehicle_binary',
                         choices=['vehicle_binary', 'multiclass'])
     parser.add_argument('--label_classes', type=int, nargs='+',
@@ -212,6 +219,7 @@ def main():
         accum_steps=args.accum_steps,
         splat_method=args.splat_method,
         compute_dtype=args.compute_dtype,
+        pos_weight=tuple(args.pos_weight),
         label_mode=args.label_mode,
         label_classes=tuple(args.label_classes),
         extrinsic_noise=(tuple(args.extrinsic_noise)
