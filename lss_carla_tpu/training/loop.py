@@ -666,6 +666,8 @@ def train(
 
     print("Starting training...")
     stop = False
+    first_val_done = False   # watchdog is disarmed around the first
+                             # validation (eval-program compile)
     early_stop_epoch = None   # set when --max_steps ends the run early
     try:
         for epoch in range(start_epoch, nepochs):
@@ -754,11 +756,19 @@ def train(
                         print(f"  train viz failed: {e}")
 
                 if val_step and counter % val_step == 0:
+                    if watchdog is not None and not first_val_done:
+                        # disarm for this process's FIRST validation — it
+                        # includes the eval-program compile, which (like
+                        # the first train step) can legitimately take
+                        # minutes on a cold cache; per-batch heartbeats
+                        # re-arm as soon as real eval batches complete
+                        watchdog.pause()
                     state = recal_ema_stats(state)
                     val_info = get_val_info(
                         eval_fn, eval_state_of(state), valloader,
                         device_put=device_put,
                         heartbeat=watchdog.beat if watchdog else None)
+                    first_val_done = True
                     val_scalars = {"val/loss": val_info["loss"],
                                    "val/iou": val_info["iou"]}
                     if ema_decay:

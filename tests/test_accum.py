@@ -13,7 +13,7 @@ from lss_carla_tpu.data.loader import stack_microbatches
 from lss_carla_tpu.training import create_train_state, make_train_step
 from lss_carla_tpu.training.step import _micro_grads
 
-from util import tiny_batch, tiny_model
+from util import slim_model, tiny_batch
 
 pytestmark = pytest.mark.slow  # full-model (tiny-config) CPU compiles
 
@@ -34,7 +34,10 @@ def test_stack_microbatches_shapes_and_ragged_tail():
 
 @pytest.fixture(scope="module")
 def model_and_data():
-    model = tiny_model()
+    # slim trunk: these tests assert optimizer/EMA/accum tree
+    # mechanics (model-agnostic); full-size-model coverage lives in
+    # the torch-parity and train-loop files (round-3 precedent)
+    model = slim_model()
     rng = np.random.default_rng(0)
     mb0 = tuple(jnp.asarray(a) for a in tiny_batch(rng, B=2))
     mb1 = tuple(jnp.asarray(a) for a in tiny_batch(rng, B=2))

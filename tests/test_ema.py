@@ -13,7 +13,7 @@ from lss_carla_tpu.training import create_train_state, make_train_step
 from lss_carla_tpu.training.state import restore_train_state
 from lss_carla_tpu.utils.checkpoint import CheckpointManager
 
-from util import tiny_batch, tiny_model
+from util import slim_model, tiny_batch
 
 pytestmark = pytest.mark.slow  # full-model (tiny-config) CPU compiles
 
@@ -22,7 +22,10 @@ DECAY = 0.5  # large (1 - decay) so drift is far above test tolerance
 
 @pytest.fixture(scope="module")
 def model_state_batch():
-    model = tiny_model()
+    # slim trunk: these tests assert optimizer/EMA/accum tree
+    # mechanics (model-agnostic); full-size-model coverage lives in
+    # the torch-parity and train-loop files (round-3 precedent)
+    model = slim_model()
     rng = np.random.default_rng(0)
     batch = tuple(jnp.asarray(a) for a in tiny_batch(rng))
     state = create_train_state(model, jax.random.PRNGKey(0), batch[:6],

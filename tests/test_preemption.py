@@ -24,7 +24,11 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
     kw = dict(dataroot=root, nepochs=500, bsz=2, nworkers=0,
               H=64, W=128, final_dim=(32, 64), **GRID_64,
               val_step=0, save_step=0, viz_step=0,
-              logdir=logdir, n_devices=1)
+              logdir=logdir, n_devices=1,
+              # slim trunk: signal/checkpoint/resume mechanics are
+              # model-agnostic (round-3 precedent; full-size coverage in
+              # the train-loop + torch-parity files)
+              variant="slim")
 
     # fire SIGTERM once training is demonstrably underway: a fixed delay is
     # fragile both ways (signal before the loop installs its handler kills

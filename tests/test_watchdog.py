@@ -85,7 +85,7 @@ def test_loop_accepts_watchdog_kwarg(tmp_path):
     out = train(root, nepochs=1, bsz=2, nworkers=0, H=64, W=128,
                 final_dim=(32, 64), logdir=str(tmp_path / "run"),
                 val_step=0, save_step=0, viz_step=0, max_steps=2,
-                n_devices=1, watchdog_secs=600,
+                n_devices=1, watchdog_secs=600, variant="slim",
                 xbound=(-50.0, 50.0, 1.5625), ybound=(-50.0, 50.0, 1.5625),
                 zbound=(-10.0, 10.0, 20.0), dbound=(4.0, 45.0, 8.0))
     assert out["counter"] == 2
