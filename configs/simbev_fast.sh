@@ -4,9 +4,13 @@
 # reference train_simbev.py:463-538 has no schedule flags).
 #
 # Measured (docs/ACCURACY.md, training-extras ablations): best val IoU
-# 0.7148 at 4000 steps — above the 12k-step constant-LR baseline
+# 0.712 +/- 0.003 over 3 seeds (best single run 0.7148) at 4000 steps — above the 12k-step constant-LR baseline
 # (0.6914 bf16 / 0.7000 f32) in a third of the steps. bf16 step ~38 ms
 # at bsz 8 (21x the 800 ms baseline floor).
+#
+# Optional: add `--ema_decay 0.999` — measured 0.7167 composed (top of
+# the seed band, not beyond it): EMA buys a smoother validation
+# trajectory under the schedule, not extra peak (ACCURACY.md ablations).
 #
 # The scale-robust --resize_lim matters on SimBEV-style data: the
 # reference's no-aug defaults leave a train/val resize-scale shift that
