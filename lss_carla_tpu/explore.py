@@ -82,7 +82,11 @@ def _build(dataroot, bsz=4, nworkers=4, H=None, W=None,
     if checkpoint:
         from lss_carla_tpu.training.state import restore_train_state
         mgr = CheckpointManager(checkpoint)
-        state, meta = restore_train_state(mgr, state, best=best)
+        # weights-only fallback: eval doesn't need optimizer state, and the
+        # checkpoint may have been trained with a schedule this constant-LR
+        # eval state lacks (opt_state structure mismatch)
+        state, meta = restore_train_state(mgr, state, best=best,
+                                          allow_weights_only=True)
         print(f"restored checkpoint step={meta.get('counter')}"
               + (" (best)" if best else ""))
         if use_ema:

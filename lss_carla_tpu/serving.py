@@ -146,7 +146,8 @@ def _main():
     state = create_train_state(model, jax.random.PRNGKey(0), sample,
                                ema_decay=1.0 if args.ema else 0.0)
     mgr = CheckpointManager(args.checkpoint)
-    state, meta = restore_train_state(mgr, state, best=args.best)
+    state, meta = restore_train_state(mgr, state, best=args.best,
+                                      allow_weights_only=True)
     print(f"restored step={meta.get('counter')}"
           + (" (best)" if args.best else ""))
     if args.ema:

@@ -153,7 +153,8 @@ def create_train_state(model, rng, sample_args, lr: float = 1e-3,
     )
 
 
-def restore_train_state(mgr, state: TrainState, step=None, best: bool = False):
+def restore_train_state(mgr, state: TrainState, step=None, best: bool = False,
+                        allow_weights_only: bool = False):
     """Restore ``state`` from a CheckpointManager, tolerant of EMA-tracking
     mismatches between this run's config and the checkpoint (both ways):
 
@@ -163,6 +164,14 @@ def restore_train_state(mgr, state: TrainState, step=None, best: bool = False):
       from the restored params/batch_stats;
     * run has EMA off, checkpoint carries EMA subtrees (either format) ->
       restore with them present and drop them.
+
+    With ``allow_weights_only=True`` (eval tools only — NOT training
+    resume), a full-tree structure mismatch beyond EMA (e.g. the
+    checkpoint's optimizer carries schedule state this process's optimizer
+    lacks) falls back to restoring params/batch_stats(/EMA) alone and
+    keeps the target's freshly-initialized optimizer state. Training
+    resume must keep the loud error: silently reinitializing Adam moments
+    mid-run would corrupt the optimization.
 
     Returns ``(state, meta)`` like ``CheckpointManager.restore``.
     """
@@ -213,4 +222,32 @@ def restore_train_state(mgr, state: TrainState, step=None, best: bool = False):
             restored = restored.replace(ema_params=None,
                                         ema_batch_stats=None)
         return restored, meta
+    if allow_weights_only:
+        from lss_carla_tpu.utils.checkpoint import ocp_abstract
+        params_abs = jax.tree_util.tree_map(ocp_abstract, state.params)
+        bs_abs = jax.tree_util.tree_map(ocp_abstract, state.batch_stats)
+        subtrees = [{"params": params_abs, "batch_stats": bs_abs}]
+        if state.ema_params is not None:
+            # prefer the checkpoint's EMA subtrees when present
+            subtrees = [dict(subtrees[0], ema_params=params_abs,
+                             ema_batch_stats=bs_abs),
+                        dict(subtrees[0], ema_params=params_abs)] + subtrees
+        for sub in subtrees:
+            try:
+                got, meta = mgr.restore_partial(sub, step=step, best=best)
+            except Exception:
+                continue
+            print("checkpoint structure doesn't match this process beyond "
+                  "EMA (e.g. schedule-trained optimizer state); restored "
+                  "weights only — optimizer state reinitialized")
+            restored = state.replace(
+                params=got["params"], batch_stats=got["batch_stats"])
+            if state.ema_params is not None:
+                restored = restored.replace(
+                    ema_params=got.get("ema_params", jax.tree_util.tree_map(
+                        jnp.copy, got["params"])),
+                    ema_batch_stats=got.get(
+                        "ema_batch_stats",
+                        jax.tree_util.tree_map(jnp.copy, got["batch_stats"])))
+            return restored, meta
     raise first_exc  # mismatch wasn't about EMA — surface the real error

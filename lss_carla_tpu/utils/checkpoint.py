@@ -183,6 +183,37 @@ class CheckpointManager:
         )
         return restored["state"], restored["meta"]
 
+    def restore_partial(self, abstract_subtree, step: Optional[int] = None,
+                        best: bool = False) -> Tuple[Any, dict]:
+        """Restore only the keys present in ``abstract_subtree`` (a dict of
+        top-level TrainState fields, e.g. params/batch_stats), ignoring
+        whatever else the checkpoint holds — the weights-only path for
+        evaluating checkpoints whose optimizer-state structure doesn't
+        match this process's optimizer (e.g. a schedule-trained checkpoint
+        opened by an eval tool built with the default constant LR)."""
+        if self.async_save:
+            self.wait()
+        mgr = self._best_mgr if best else self._mgr
+        if step is None:
+            step = mgr.latest_step()
+        if step is None:
+            if not best and self._best_mgr.latest_step() is not None:
+                return self.restore_partial(abstract_subtree, best=True)
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        # standalone checkpointers on the step directory: the manager's
+        # composite registry binds item "state" to StandardRestore on first
+        # use, and then rejects a PyTreeRestore arg for the same item
+        base = os.path.join(self.directory, "best" if best else "",
+                            str(int(step)))
+        with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ck:
+            state = ck.restore(
+                os.path.join(base, "state"),
+                args=ocp.args.PyTreeRestore(abstract_subtree,
+                                            partial_restore=True))
+        with ocp.Checkpointer(ocp.JsonCheckpointHandler()) as ck:
+            meta = ck.restore(os.path.join(base, "meta"))
+        return state, meta
+
     def wait(self):
         """Drain in-flight async writes (no-op for sync managers)."""
         self._mgr.wait_until_finished()

@@ -89,3 +89,37 @@ def test_async_save_roundtrip_and_idempotence(tmp_path):
     state2, meta2 = mgr2.restore(_abstract())
     assert meta2["counter"] == 2 and float(state2["b"]) == 3.0
     mgr2.close()
+
+
+def test_weights_only_fallback_for_optimizer_mismatch(tmp_path):
+    """A schedule-trained checkpoint must be openable by eval tools built
+    with the default constant-LR optimizer (round-5 finding: the stretch
+    eval cross-check failed on opt_state[3] dict-vs-EmptyState). Only the
+    opt-in allow_weights_only path may absorb it — training resume keeps
+    the loud error."""
+    from lss_carla_tpu.training.state import (TrainState, make_optimizer,
+                                              restore_train_state)
+    params = {"w": jnp.ones((4,))}
+    bs = {"m": jnp.zeros((4,))}
+    trained = TrainState.create(
+        apply_fn=lambda *a: None, params=params, batch_stats=bs,
+        tx=make_optimizer(lr_schedule="cosine", warmup_steps=2,
+                          decay_steps=10))
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(3, trained, epoch=1)
+    mgr.close()
+
+    evalside = TrainState.create(
+        apply_fn=lambda *a: None,
+        params={"w": jnp.zeros((4,))}, batch_stats={"m": jnp.ones((4,))},
+        tx=make_optimizer())  # constant LR -> different opt_state tree
+    mgr2 = CheckpointManager(str(tmp_path / "ck"))
+    # training-resume semantics: still a hard error
+    with pytest.raises(Exception):
+        restore_train_state(mgr2, evalside)
+    # eval semantics: weights restored, optimizer state left fresh
+    got, meta = restore_train_state(mgr2, evalside, allow_weights_only=True)
+    np.testing.assert_allclose(np.asarray(got.params["w"]), 1.0)
+    np.testing.assert_allclose(np.asarray(got.batch_stats["m"]), 0.0)
+    assert meta["counter"] == 3
+    mgr2.close()
