@@ -94,7 +94,7 @@ def bench_input(bsz: int, iters: int):
 
 
 def bench_infer(bsz, iters, dtype, quantize=False, quant_min_channels=64,
-                variant="b0"):
+                variant="b0", compiler_options=None):
     """Forward-only latency (reference: ~100 ms/sample single GPU,
     docs/README_SIMBEV.md:186). quantize: int8 PTQ convs (ops/quant.py)."""
     import jax
@@ -113,7 +113,7 @@ def bench_infer(bsz, iters, dtype, quantize=False, quant_min_channels=64,
             return x * (1.0 + 1e-12 * out[0, 0, 0, 0])
         return jax.lax.fori_loop(0, iters, body, imgs)
 
-    cf = jax.jit(chained)
+    cf = jax.jit(chained, compiler_options=compiler_options or None)
     if quantize:
         from lss_carla_tpu.ops.quant import quantized_context
         with quantized_context(quant_min_channels):  # traced on first call
@@ -263,8 +263,8 @@ def main():
     if args.fused_dw and args.mode != "step":
         p.error("--fused_dw only applies to --mode step (the fusion is a "
                 "train-path rewrite; eval/infer use the standard convs)")
-    if args.compiler_option and args.mode != "step":
-        p.error("--compiler_option only applies to --mode step")
+    if args.compiler_option and args.mode not in ("step", "infer"):
+        p.error("--compiler_option only applies to --mode step/infer")
     compiler_options = {}
     for kv in args.compiler_option:
         if "=" not in kv:
@@ -280,7 +280,7 @@ def main():
         bench_input(args.bsz, max(1, args.iters // 5))
     elif args.mode == "infer":
         bench_infer(args.bsz, args.iters, dtype, args.quantize,
-                    args.quant_min_channels, args.variant)
+                    args.quant_min_channels, args.variant, compiler_options)
     elif args.mode == "step":
         bench_step(args.bsz, args.iters, args.splat_method, dtype,
                    args.remat, args.variant, args.warmup, args.accum,
