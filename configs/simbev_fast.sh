@@ -4,7 +4,7 @@
 # reference train_simbev.py:463-538 has no schedule flags).
 #
 # Measured (docs/ACCURACY.md, training-extras ablations): best val IoU
-# 0.714 +/- 0.004 over 4 runs, 3 seeds (best single run 0.7186) at 4000 steps — above the 12k-step constant-LR baseline
+# 0.712 +/- 0.005 over 5 runs, 4 seeds (best single run 0.7186) at 4000 steps — above the 12k-step constant-LR baseline
 # (0.6914 bf16 / 0.7000 f32) in a third of the steps. bf16 step ~38 ms
 # at bsz 8 (21x the 800 ms baseline floor).
 #
