@@ -10,8 +10,13 @@ RUNS=/root/runs/r5
 STATUS=$RUNS/status.log
 log() { echo "$(date +%F' '%H:%M:%S) $*" >> "$STATUS"; }
 
-log "r5e: waiting for r5d ALL DONE"
-while ! grep -q "ALL DONE" "$STATUS"; do sleep 15; done
+# NOTE (post-mortem): the original gate grepped for "ALL DONE" — which
+# matched this script's OWN "waiting for r5d ALL DONE" log line, so r5e
+# started while stage J still held the chip (wall-time contention only;
+# results were unaffected, disclosed in ACCURACY.md). Anchor the pattern
+# to the producer's exact line instead:
+log "r5e: waiting for r5d queue-done marker"
+while ! grep -qx '.*[0-9] ALL DONE' "$STATUS"; do sleep 15; done
 log "r5e: queue clear"
 
 CKPT="$RUNS/stretch4k_pw/ckpts"
